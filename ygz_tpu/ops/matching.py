@@ -1,0 +1,110 @@
+"""Descriptor matching: Hamming distances as an MXU matmul + gated NN search.
+
+Replaces ORBmatcher's scalar popcount loops (/root/reference/src/
+ORBmatcher.cc — DescriptorDistance :1507, SearchFor* throughout) with one
+batched formulation: with descriptors as ±1 vectors, the Hamming distance is
+(256 - <d1, d2>)/2, so an [N1,256]x[256,N2] matmul on the MXU scores every
+pair at once. Window/area gating becomes an additive mask on the distance
+matrix; the rotation-consistency histogram (HISTO_LENGTH=30, keep top-3 bins,
+ComputeThreeMaxima :1471) is a batched histogram.
+
+Constants follow the reference: TH_HIGH=100, TH_LOW=50 (src/ORBmatcher.cc:36).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+N_BITS = 256
+BIG = 1e9
+
+
+def hamming_matrix(bits1, bits2, valid1=None, valid2=None):
+    """[N1,256] x [N2,256] 0/1 descriptors -> [N1,N2] float32 Hamming.
+
+    Invalid rows/cols get distance BIG.
+    """
+    s1 = bits1.astype(jnp.float32) * 2.0 - 1.0
+    s2 = bits2.astype(jnp.float32) * 2.0 - 1.0
+    dot = jax.lax.dot_general(s1, s2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    d = 0.5 * (N_BITS - dot)
+    if valid1 is not None:
+        d = jnp.where(valid1[:, None], d, BIG)
+    if valid2 is not None:
+        d = jnp.where(valid2[None, :], d, BIG)
+    return d
+
+
+def nn_match(dist, max_dist=TH_LOW, ratio=1.0):
+    """Row-wise nearest neighbour with Lowe ratio test.
+
+    Returns (idx [N1] int32 — match in set 2 or -1, ok [N1] bool).
+    """
+    neg = -dist
+    top2, idx2 = jax.lax.top_k(neg, 2)  # largest of -dist = smallest dist
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    ok = (best <= max_dist) & (best <= ratio * second)
+    idx = jnp.where(ok, idx2[:, 0], -1)
+    return idx.astype(jnp.int32), ok
+
+
+def mutual_filter(idx12, idx21):
+    """Keep only mutual matches: idx21[idx12[i]] == i."""
+    n1 = idx12.shape[0]
+    back = jnp.where(idx12 >= 0, idx21[jnp.clip(idx12, 0, idx21.shape[0] - 1)],
+                     -2)
+    ok = back == jnp.arange(n1)
+    return jnp.where(ok, idx12, -1), ok
+
+
+def window_gate(uv1, uv2, radius):
+    """Additive BIG penalty outside a search window: pairs (i,j) allowed only
+    if |uv2[j] - uv1_pred[i]| < radius (Chebyshev). Returns [N1,N2] penalty."""
+    d = jnp.abs(uv1[:, None, :] - uv2[None, :, :])
+    inside = (d[..., 0] < radius) & (d[..., 1] < radius)
+    return jnp.where(inside, 0.0, BIG)
+
+
+def rotation_consistency(ang1, ang2, idx, ok):
+    """ORB-SLAM rotation-histogram filter: histogram dtheta over 30 bins,
+    keep matches in the top-3 bins. Returns refined ok mask."""
+    a2 = ang2[jnp.clip(idx, 0, ang2.shape[0] - 1)]
+    rot = (ang1 - a2) * (180.0 / jnp.pi)
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    bin_w = 360.0 / HISTO_LENGTH
+    b = jnp.clip((rot / bin_w).astype(jnp.int32), 0, HISTO_LENGTH - 1)
+    counts = jnp.zeros(HISTO_LENGTH, jnp.int32).at[b].add(ok.astype(jnp.int32))
+    top3 = jax.lax.top_k(counts, 3)[0]
+    # bins kept: count >= max(0.1*max, third-largest) — reference keeps the 3
+    # largest bins (dropping a bin if < 0.1 * max count)
+    thresh = jnp.maximum(top3[2], (0.1 * top3[0]).astype(jnp.int32))
+    keep_bin = counts >= jnp.maximum(thresh, 1)
+    return ok & keep_bin[b]
+
+
+def match_with_windows(bits1, valid1, bits2, valid2, uv_pred1=None, uv2=None,
+                       radius=None, max_dist=TH_LOW, ratio=0.9,
+                       ang1=None, ang2=None, mutual=False):
+    """One-stop batched matcher used by the tracking front-end.
+
+    Mirrors ORBmatcher::SearchByProjection semantics: optional window gate
+    around predicted positions, Hamming NN + ratio, optional rotation
+    histogram, optional mutual-consistency check.
+    """
+    d = hamming_matrix(bits1, bits2, valid1, valid2)
+    if radius is not None:
+        d = d + window_gate(uv_pred1, uv2, radius)
+    idx, ok = nn_match(d, max_dist=max_dist, ratio=ratio)
+    if ang1 is not None and ang2 is not None:
+        ok = rotation_consistency(ang1, ang2, idx, ok)
+        idx = jnp.where(ok, idx, -1)
+    if mutual:
+        idx21, _ = nn_match(d.T, max_dist=max_dist, ratio=ratio)
+        idx, mok = mutual_filter(idx, idx21)
+        ok = ok & mok
+    return idx, ok
