@@ -25,24 +25,49 @@ def make_texture(size=1600, seed=0, blur_sigma=2.0):
 
 
 class PlaneScene:
-    """Camera intrinsics + plane + texture; render views at arbitrary poses.
+    """Camera intrinsics + textured surface; render views at arbitrary poses.
 
     Pose convention: (R, t) maps WORLD -> CAMERA (like the reference's Tcw).
-    World frame = first camera frame; plane is z = PLANE_Z.
+    World frame = first camera frame.
+
+    depth_fn(x, y) -> z gives the surface depth as a function of world x,y.
+    The default is the constant plane z = PLANE_Z. NOTE: a single plane is
+    DEGENERATE for pose estimation (planar homography ambiguity — with noisy
+    map depths, a pitch/yaw + translation combination mimics z-motion and
+    monocular VO scale-drifts along the flat cost valley); end-to-end tests
+    should use a scene with depth structure (StepScene).
+
+    Rendering solves per-pixel ray-surface intersection by fixed-point
+    iteration on lambda: z(ray(lam)) = ray_z(lam) — exact for piecewise-
+    constant or smooth depth away from step boundaries.
     """
 
-    def __init__(self, w=640, h=480, f=400.0, seed=0, tex_size=1600):
+    def __init__(self, w=640, h=480, f=400.0, seed=0, tex_size=1600,
+                 depth_fn=None):
         self.w, self.h, self.f = w, h, float(f)
         self.cx, self.cy = w / 2.0 - 0.5, h / 2.0 - 0.5
         self.K = np.array([[f, 0, self.cx], [0, f, self.cy], [0, 0, 1]],
                           np.float32)
         self.tex = make_texture(tex_size, seed)
         self.tex_c = tex_size / 2.0
+        self.depth_fn = depth_fn or (lambda x, y: np.full_like(x, PLANE_Z))
 
     def world_to_tex(self, Xw):
         """World points [N,3] on the plane -> texture pixel coords [N,2]."""
         return np.stack([Xw[..., 0] * TEX_SCALE + self.tex_c,
                          Xw[..., 1] * TEX_SCALE + self.tex_c], axis=-1)
+
+    def _intersect(self, o_w, d_w):
+        """Ray-surface intersection by fixed-point iteration on lambda.
+
+        o_w [3], d_w [...,3] (world). Returns lam [...]."""
+        lam = (PLANE_Z - o_w[2]) / d_w[..., 2]
+        for _ in range(8):
+            x = o_w[0] + lam * d_w[..., 0]
+            y = o_w[1] + lam * d_w[..., 1]
+            z = self.depth_fn(x, y)
+            lam = (z - o_w[2]) / d_w[..., 2]
+        return lam
 
     def render(self, R, t):
         """Render the view from pose (R,t) (world->cam). Returns [h,w] f32."""
@@ -55,7 +80,7 @@ class PlaneScene:
         Rwc = R.T
         o_w = -Rwc @ t                   # camera centre in world
         d_w = d_cam @ Rwc.T              # ray directions in world
-        lam = (PLANE_Z - o_w[2]) / d_w[..., 2]
+        lam = self._intersect(o_w, d_w)
         Xw = o_w[None, None, :] + lam[..., None] * d_w
         uv_tex = self.world_to_tex(Xw)
         img = imops.sample_bilinear(jnp.asarray(self.tex),
@@ -72,7 +97,7 @@ class PlaneScene:
         Rwc = R.T
         o_w = -Rwc @ t
         d_w = d_cam @ Rwc.T
-        lam = (PLANE_Z - o_w[2]) / d_w[..., 2]
+        lam = self._intersect(o_w, d_w)
         # depth = z-coordinate in camera frame of the intersection
         Xw = o_w[None, None, :] + lam[..., None] * d_w
         Xc = Xw @ R.T + t
@@ -86,7 +111,7 @@ class PlaneScene:
         return np.stack([u, v], axis=-1).astype(np.float32), Xc[:, 2]
 
     def backproject(self, R, t, uv):
-        """Pixels in view (R,t) -> world points on the plane."""
+        """Pixels in view (R,t) -> world points on the surface."""
         uv = np.asarray(uv, np.float32)
         d_cam = np.stack([(uv[:, 0] - self.cx) / self.f,
                           (uv[:, 1] - self.cy) / self.f,
@@ -94,5 +119,35 @@ class PlaneScene:
         Rwc = np.asarray(R).T
         o_w = -Rwc @ np.asarray(t)
         d_w = d_cam @ Rwc.T
-        lam = (PLANE_Z - o_w[2]) / d_w[:, 2]
+        lam = self._intersect(o_w, d_w)
         return (o_w[None, :] + lam[:, None] * d_w).astype(np.float32)
+
+
+def smooth_depth(x, y, base=PLANE_Z, amp=0.5, period=4.0):
+    """Smooth non-planar depth: breaks the planar-homography degeneracy
+    WITHOUT depth discontinuities (which contaminate patches that straddle a
+    step). Amplitude/period chosen so the ray-surface fixed-point iteration
+    contracts (|dz/dxy| * |dxy/dlam| < 1 over the FOV)."""
+    w = 2.0 * np.pi / period
+    return base + amp * np.sin(w * x) * np.sin(w * y)
+
+
+class SmoothScene(PlaneScene):
+    def __init__(self, **kw):
+        kw.setdefault("depth_fn", smooth_depth)
+        super().__init__(**kw)
+
+
+def step_depth(x, y, base=PLANE_Z, amp=1.2, cell=1.1):
+    """Piecewise-constant 'terraced' depth: breaks the planar-homography
+    degeneracy that makes single-plane scenes pathological for mono VO."""
+    cx = np.floor(x / cell).astype(np.int64)
+    cy = np.floor(y / cell).astype(np.int64)
+    h = ((cx * 1103515245 + cy * 12345) % 4) / 3.0  # deterministic 0..1
+    return base + amp * (h - 0.5)
+
+
+class StepScene(PlaneScene):
+    def __init__(self, **kw):
+        kw.setdefault("depth_fn", step_depth)
+        super().__init__(**kw)

@@ -1,0 +1,354 @@
+"""Local mapping: keyframe insertion, triangulation of new points, local BA,
+map-point culling.
+
+Host-orchestrated, device-batched re-design of the reference LocalMapping
+thread (/root/reference/src/LocalMapping.cc — ProcessNewKeyFrame :886,
+MapPointCulling :930, CreateNewMapPoints :978, local BA :809-817). Instead of
+a background thread with queues and mutexes, `LocalMapper.insert_keyframe`
+runs synchronously between tracked frames (the async overlap is a planned
+host-pipeline optimization); all numerics are jitted batched calls.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mapstate import SlamMap
+from .optim import local_bundle_adjustment, CHI2_MONO
+from ..geometry.triangulation import triangulate_dlt, triangulation_checks
+from ..ops import matching
+from ..frontend.direct_tracker import capture_ref_patches
+
+BA_P = 8       # local BA pose capacity
+BA_L = 2048    # landmark capacity
+BA_O = 4096    # observation capacity
+
+
+def _fundamental_from_poses(RA, tA, RB, tB, K):
+    """F for x_B^T F x_A = 0 given world->cam poses of A and B."""
+    R = RB @ RA.T
+    t = tB - R @ tA
+    tx = jnp.array([[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]],
+                    [-t[1], t[0], 0.0]])
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R @ Kinv
+
+
+@jax.jit
+def match_epipolar_and_triangulate(descA, uvA, levelA, validA,
+                                   descB, uvB, levelB, validB,
+                                   RA, tA, RB, tB, K, baseline_med_depth):
+    """Epipolar-gated descriptor matching + batched triangulation between two
+    keyframes (reference ORBmatcher::SearchForTriangulation
+    src/ORBmatcher.cc:597 + LocalMapping::CreateNewMapPoints checks).
+
+    Returns (idxB_for_A [NA], good [NA], Xw [NA,3]): for each unbound feature
+    of A, the matched feature in B and the triangulated world point.
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    F = _fundamental_from_poses(RA, tA, RB, tB, K)
+
+    # epipolar gate: distance of uvB to the epipolar line of uvA
+    oA = jnp.ones_like(uvA[:, :1])
+    l = jnp.concatenate([uvA, oA], -1) @ F.T              # lines in B [NA,3]
+    num = (l[:, None, 0] * uvB[None, :, 0] + l[:, None, 1] * uvB[None, :, 1]
+           + l[:, None, 2]) ** 2
+    den = jnp.maximum(l[:, 0] ** 2 + l[:, 1] ** 2, 1e-12)[:, None]
+    sigma2B = (2.0 ** levelB.astype(jnp.float32)) ** 2
+    pen = jnp.where(num / den < 3.84 * sigma2B[None, :], 0.0, matching.BIG)
+
+    d = matching.hamming_matrix(descA, descB, validA, validB) + pen
+    idx, ok = matching.nn_match(d, max_dist=matching.TH_LOW, ratio=0.6)
+    idx21, _ = matching.nn_match(d.T, max_dist=matching.TH_LOW, ratio=0.6)
+    idx, mok = matching.mutual_filter(idx, idx21)
+    ok = ok & mok
+
+    uvBm = uvB[jnp.clip(idx, 0, uvB.shape[0] - 1)]
+    PA = K @ jnp.concatenate([RA, tA[:, None]], 1)
+    PB = K @ jnp.concatenate([RB, tB[:, None]], 1)
+    Xw = triangulate_dlt(PA, PB, uvA, uvBm)
+    # coarse gate: cheirality/chi2 + a mild parallax floor (~0.4 deg); the
+    # caller refines the B-side match to subpixel with the direct aligner and
+    # re-triangulates, which is what controls depth noise (px_err*z/(f*b))
+    good, cosp = triangulation_checks(
+        RA, tA, RB, tB, Xw, uvA, uvBm, fx, fy, cx, cy,
+        sigma2=1.0, reproj_chi2=CHI2_MONO, min_parallax_cos=0.999976)
+    # reasonable depth band relative to scene median depth
+    zA = (Xw @ RA.T + tA)[:, 2]
+    good = (good & ok & (zA > 0.05 * baseline_med_depth)
+            & (zA < 20.0 * baseline_med_depth))
+    return idx, good, Xw
+
+
+class LocalMapper:
+    """Synchronous local mapping over the struct-of-arrays map."""
+
+    def __init__(self, cam, n_levels: int = 4, window: int = 6):
+        self.cam = cam
+        self.n_levels = n_levels
+        self.window = window
+        self.K = np.asarray(cam.K)
+        self.intr = (cam.fx, cam.fy, cam.cx, cam.cy)
+
+    # ------------------------------------------------------------ triangulate
+    def create_new_points(self, smap: SlamMap, kf_new: int, kf_prev: int,
+                          pyramid_new):
+        unboundA = (smap.kf_feat_valid[kf_new]
+                    & (smap.kf_feat_pt[kf_new] < 0))
+        unboundB = (smap.kf_feat_valid[kf_prev]
+                    & (smap.kf_feat_pt[kf_prev] < 0))
+        if unboundA.sum() < 8 or unboundB.sum() < 8:
+            return 0
+        med_depth = self.median_depth(smap, kf_new)
+        idx, good, Xw = match_epipolar_and_triangulate(
+            jnp.asarray(smap.kf_feat_desc[kf_new]),
+            jnp.asarray(smap.kf_feat_uv[kf_new]),
+            jnp.asarray(smap.kf_feat_level[kf_new]),
+            jnp.asarray(unboundA),
+            jnp.asarray(smap.kf_feat_desc[kf_prev]),
+            jnp.asarray(smap.kf_feat_uv[kf_prev]),
+            jnp.asarray(smap.kf_feat_level[kf_prev]),
+            jnp.asarray(unboundB),
+            jnp.asarray(smap.kf_R[kf_new]), jnp.asarray(smap.kf_t[kf_new]),
+            jnp.asarray(smap.kf_R[kf_prev]), jnp.asarray(smap.kf_t[kf_prev]),
+            jnp.asarray(self.K), jnp.float32(med_depth))
+        idx = np.asarray(idx)
+        good = np.asarray(good)
+        Xw = np.asarray(Xw)
+        slotsA = np.nonzero(good)[0]
+        if len(slotsA) == 0:
+            return 0
+        slotsB = idx[slotsA]
+
+        # subpixel refinement: re-match the B side with the direct aligner
+        # (warped A patches -> KLT in B), then re-triangulate. The A-side uv
+        # DEFINES the point (no measurement noise); only the B-side match
+        # carries noise, and align2d cuts it from ~1 px to ~0.05 px — this is
+        # what lets small-parallax pairs produce usable depths (the reference
+        # instead relies on many-KF re-observation + BA to average the noise).
+        if smap.kf_pyr[kf_prev] is not None and len(slotsA) >= 4:
+            from ..frontend.direct_tracker import track_local_map_direct
+            cap = 512
+            n = min(len(slotsA), cap)
+            slotsA = slotsA[:n]
+            slotsB = slotsB[:n]
+            pad = cap - n
+            uvA = np.zeros((cap, 2), np.float32)
+            lvlA = np.zeros(cap, np.int32)
+            Xp = np.zeros((cap, 3), np.float32)
+            vmask = np.zeros(cap, bool)
+            uvA[:n] = smap.kf_feat_uv[kf_new, slotsA]
+            lvlA[:n] = smap.kf_feat_level[kf_new, slotsA]
+            Xp[:n] = Xw[slotsA]
+            vmask[:n] = True
+            patches = capture_ref_patches(
+                tuple(pyramid_new), jnp.asarray(uvA), jnp.asarray(lvlA),
+                n_levels=self.n_levels)
+            RA_ = np.tile(smap.kf_R[kf_new], (cap, 1, 1)).astype(np.float32)
+            tA_ = np.tile(smap.kf_t[kf_new], (cap, 1)).astype(np.float32)
+            dres = track_local_map_direct(
+                tuple(smap.kf_pyr[kf_prev]),
+                jnp.asarray(smap.kf_R[kf_prev]),
+                jnp.asarray(smap.kf_t[kf_prev]),
+                jnp.asarray(Xp), jnp.asarray(vmask), patches,
+                jnp.asarray(uvA), jnp.asarray(lvlA),
+                jnp.asarray(RA_), jnp.asarray(tA_),
+                self.intr, n_levels=self.n_levels)
+            aligned = np.asarray(dres.aligned)[:n]
+            uvB_ref = np.asarray(dres.uv)[:n]
+            PA = self.K @ np.hstack([smap.kf_R[kf_new],
+                                     smap.kf_t[kf_new][:, None]])
+            PB = self.K @ np.hstack([smap.kf_R[kf_prev],
+                                     smap.kf_t[kf_prev][:, None]])
+            X2 = np.asarray(triangulate_dlt(
+                jnp.asarray(PA.astype(np.float32)),
+                jnp.asarray(PB.astype(np.float32)),
+                jnp.asarray(uvA[:n]), jnp.asarray(uvB_ref)))
+            good2, _ = triangulation_checks(
+                jnp.asarray(smap.kf_R[kf_new]), jnp.asarray(smap.kf_t[kf_new]),
+                jnp.asarray(smap.kf_R[kf_prev]),
+                jnp.asarray(smap.kf_t[kf_prev]),
+                jnp.asarray(X2), jnp.asarray(uvA[:n]), jnp.asarray(uvB_ref),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                sigma2=1.0, reproj_chi2=CHI2_MONO,
+                min_parallax_cos=0.99996)
+            good2 = np.asarray(good2) & aligned
+            zA = (X2 @ smap.kf_R[kf_new].T + smap.kf_t[kf_new])[:, 2]
+            good2 &= (zA > 0.05 * med_depth) & (zA < 20.0 * med_depth)
+            keep = np.nonzero(good2)[0]
+            slotsA = slotsA[keep]
+            slotsB = slotsB[keep]
+            Xw = np.zeros((smap.max_feat, 3), np.float32)
+            Xw[slotsA] = X2[keep]
+        # only create points whose reference patch can be captured cleanly
+        inb = self.patch_in_bounds(smap.kf_feat_uv[kf_new, slotsA],
+                                   smap.kf_feat_level[kf_new, slotsA])
+        slotsA = slotsA[inb]
+        slotsB = slotsB[inb]
+        if len(slotsA) == 0:
+            return 0
+        ids = smap.alloc_points(len(slotsA))
+        smap.pt_xyz[ids] = Xw[slotsA]
+        smap.pt_valid[ids] = True
+        smap.pt_first_kf[ids] = kf_new
+        smap.pt_desc[ids] = smap.kf_feat_desc[kf_new, slotsA]
+        smap.bind(kf_new, slotsA, ids)
+        smap.bind(kf_prev, slotsB, ids)
+        # NOTE: direct-tracking patches are captured by the caller AFTER
+        # local BA so the stored geometry matches the optimized map.
+        return len(slotsA)
+
+    def patch_in_bounds(self, uv, lvl):
+        """True where a REF_PATCH capture at (uv, level) stays inside the
+        image. Near-border captures silently sample edge-clamped pixels
+        (garbage templates that poison the next frames' tracking)."""
+        from ..backend.mapstate import REF_PATCH
+        scale = (2.0 ** lvl.astype(np.float32))
+        margin = (REF_PATCH / 2 + 2) * scale
+        w, h = self.cam.width, self.cam.height
+        return ((uv[:, 0] >= margin) & (uv[:, 0] < w - margin)
+                & (uv[:, 1] >= margin) & (uv[:, 1] < h - margin))
+
+    def refresh_patches(self, smap: SlamMap, kf: int, pyramid, pt_ids, slots):
+        """(Re)capture stored ref patches for points bound to `slots` of kf.
+        Points whose patch would cross the border keep their previous
+        reference state."""
+        pt_ids = np.asarray(pt_ids)
+        slots = np.asarray(slots)
+        if len(pt_ids) == 0:
+            return
+        uv = smap.kf_feat_uv[kf, slots]
+        lvl = smap.kf_feat_level[kf, slots]
+        ok = self.patch_in_bounds(uv, lvl)
+        pt_ids = pt_ids[ok]
+        slots = slots[ok]
+        if len(pt_ids) == 0:
+            return
+        uv = uv[ok]
+        lvl = lvl[ok]
+        patches = np.asarray(capture_ref_patches(
+            tuple(pyramid), jnp.asarray(uv), jnp.asarray(lvl),
+            n_levels=self.n_levels))
+        smap.pt_patch[pt_ids] = patches
+        smap.pt_ref_uv[pt_ids] = uv
+        smap.pt_ref_level[pt_ids] = lvl
+        smap.pt_ref_kf[pt_ids] = kf
+        smap.pt_ref_R[pt_ids] = smap.kf_R[kf]
+        smap.pt_ref_t[pt_ids] = smap.kf_t[kf]
+
+    def median_depth(self, smap: SlamMap, kf: int) -> float:
+        pts = smap.kf_feat_pt[kf]
+        pts = pts[pts >= 0]
+        if len(pts) == 0:
+            return 1.0
+        Xc = smap.pt_xyz[pts] @ smap.kf_R[kf].T + smap.kf_t[kf]
+        return float(np.median(Xc[:, 2]))
+
+    # ------------------------------------------------------------------- BA
+    def local_ba(self, smap: SlamMap, kf: int):
+        """Window local BA (reference Optimizer::LocalBundleAdjustment)."""
+        win = smap.local_window(kf, self.window)
+        if len(win) < 2:
+            return
+        pt_ids = smap.points_in_kfs(win)
+        if len(pt_ids) == 0:
+            return
+        if len(pt_ids) > BA_L:
+            pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[:BA_L]]
+        # fixed ring: KFs outside the window that observe window points
+        # enter as fixed poses (reference src/Optimizer.cc:1903-1918) — they
+        # pin the gauge (incl. scale) to the older map
+        in_win = np.zeros(smap.n_kf, bool)
+        in_win[win] = True
+        sel = np.isin(smap.kf_feat_pt[: smap.n_kf], pt_ids)
+        obs_per_kf = sel.sum(axis=1)
+        obs_per_kf[in_win] = 0
+        ring = np.argsort(-obs_per_kf)[: max(0, BA_P - len(win))]
+        ring = [int(k) for k in ring if obs_per_kf[k] >= 10]
+        win = win + ring
+        o_kf, o_pt, o_uv, o_lvl = smap.observations(win, pt_ids)
+        if len(o_kf) > BA_O:
+            o_kf, o_pt, o_uv, o_lvl = (o_kf[:BA_O], o_pt[:BA_O],
+                                       o_uv[:BA_O], o_lvl[:BA_O])
+
+        P = BA_P
+        n_free = len(win) - len(ring)
+        kfR = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        kft = np.zeros((P, 3), np.float32)
+        fixed = np.ones(P, bool)
+        for i, k in enumerate(win[:P]):
+            kfR[i] = smap.kf_R[k]
+            kft[i] = smap.kf_t[k]
+            fixed[i] = i >= n_free  # ring KFs are fixed
+        # gauge anchors: besides the fixed ring, the two oldest KFs of the
+        # problem stay fixed (mono BA has a 7-DoF gauge incl. scale)
+        order = np.argsort([smap.kf_frame_id[k] for k in win[:P]])
+        fixed[order[0]] = True
+        if len(win) >= 4:
+            fixed[order[1]] = True
+
+        L = BA_L
+        pts = np.zeros((L, 3), np.float32)
+        pt_valid = np.zeros(L, bool)
+        pts[: len(pt_ids)] = smap.pt_xyz[pt_ids]
+        pt_valid[: len(pt_ids)] = True
+
+        O = BA_O
+        obs_p = np.zeros(O, np.int32)
+        obs_l = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_is2 = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        n_o = len(o_kf)
+        obs_p[:n_o] = o_kf
+        obs_l[:n_o] = o_pt
+        obs_uv[:n_o] = o_uv
+        obs_is2[:n_o] = 0.25 ** o_lvl
+        obs_valid[:n_o] = o_kf < P
+
+        res = local_bundle_adjustment(
+            jnp.asarray(kfR), jnp.asarray(kft), jnp.asarray(fixed),
+            jnp.asarray(pts), jnp.asarray(pt_valid),
+            jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
+            jnp.asarray(obs_is2), jnp.asarray(obs_valid),
+            self.intr, n_poses=P, n_points=L)
+
+        newR = np.asarray(res.kf_R)
+        newt = np.asarray(res.kf_t)
+        for i, k in enumerate(win[:P]):
+            if not fixed[i]:
+                smap.set_pose(k, newR[i], newt[i])
+        smap.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+        smap.sync_ref_poses()
+
+        # drop observations flagged as outliers
+        inl = np.asarray(res.obs_inlier)[:n_o]
+        bad = np.nonzero(~inl)[0]
+        for b in bad:
+            k = win[o_kf[b]]
+            lp = int(o_pt[b])
+            pid = pt_ids[lp]
+            slots = np.nonzero(smap.kf_feat_pt[k] == pid)[0]
+            if len(slots):
+                smap.kf_feat_pt[k, slots] = -1
+                smap.pt_obs[pid] -= len(slots)
+
+    # ---------------------------------------------------------------- culling
+    def cull_points(self, smap: SlamMap, recent_window: int = 3):
+        """Found-ratio + observation-count culling
+        (reference MapPointCulling src/LocalMapping.cc:930-964)."""
+        if smap.n_pt == 0:
+            return 0
+        ids = np.arange(smap.n_pt)
+        valid = smap.pt_valid[ids]
+        vis = np.maximum(smap.pt_visible[ids], 1)
+        ratio = smap.pt_found[ids] / vis
+        age = smap.n_kf - 1 - smap.pt_first_kf[ids]
+        # reference: found-ratio < 0.25, or <= 2 KF observations (mono) once
+        # 2 KFs have passed since creation — kills the small-parallax 2-obs
+        # points whose depths are too noisy to keep feeding pose estimation
+        bad = valid & (((ratio < 0.25) & (smap.pt_visible[ids] > 8))
+                       | ((age >= 2) & (smap.pt_obs[ids] <= 2)))
+        smap.kill_points(ids[bad])
+        return int(bad.sum())

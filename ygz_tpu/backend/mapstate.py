@@ -1,0 +1,185 @@
+"""Struct-of-arrays SLAM map (host-resident, numpy; device views per call).
+
+Replaces the reference's pointer graph (KeyFrame/MapPoint/Map with per-object
+mutexes, /root/reference/src/{KeyFrame,MapPoint,Map}.cc) with fixed-capacity
+arrays + validity masks. All mutation happens on the host between jitted
+steps, so there is no locking; jitted numerics receive padded array views.
+
+Covisibility is recomputed from the binding table (kf_feat_pt) on demand —
+the reference maintains it incrementally under mutexes
+(KeyFrame::UpdateConnections src/KeyFrame.cc:493); at our capacities a numpy
+bincount over bindings is microseconds.
+
+Per-point direct-tracking state: each map point stores a PATCH x PATCH
+reference patch captured from its reference keyframe's pyramid level, plus
+the capture geometry (pose, uv, level, depth). Direct local-map tracking
+warps these stored patches instead of gathering from many keyframe images —
+a batched, cache-friendly reformulation of ORBmatcher::FindDirectProjection
+(src/ORBmatcher.cc:1573-1602) + SelectNearestKeyframe (src/Tracking.cc:2412).
+Patches are refreshed whenever the point is re-observed in a new keyframe.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+REF_PATCH = 20  # stored ref patch side (warped 10x10 windows sampled inside)
+
+
+class SlamMap:
+    def __init__(self, max_kf: int = 256, max_pt: int = 16384,
+                 max_feat: int = 640):
+        self.max_kf = max_kf
+        self.max_pt = max_pt
+        self.max_feat = max_feat
+
+        self.kf_R = np.zeros((max_kf, 3, 3), np.float32)
+        self.kf_t = np.zeros((max_kf, 3), np.float32)
+        self.kf_valid = np.zeros(max_kf, bool)
+        self.kf_ts = np.zeros(max_kf, np.float64)
+        self.kf_frame_id = np.zeros(max_kf, np.int64)
+
+        self.kf_feat_uv = np.zeros((max_kf, max_feat, 2), np.float32)
+        self.kf_feat_level = np.zeros((max_kf, max_feat), np.int32)
+        self.kf_feat_desc = np.zeros((max_kf, max_feat, 256), np.uint8)
+        self.kf_feat_angle = np.zeros((max_kf, max_feat), np.float32)
+        self.kf_feat_valid = np.zeros((max_kf, max_feat), bool)
+        self.kf_feat_pt = np.full((max_kf, max_feat), -1, np.int64)
+
+        self.pt_xyz = np.zeros((max_pt, 3), np.float32)
+        self.pt_valid = np.zeros(max_pt, bool)
+        self.pt_obs = np.zeros(max_pt, np.int32)       # keyframe observations
+        self.pt_visible = np.zeros(max_pt, np.int32)   # frustum appearances
+        self.pt_found = np.zeros(max_pt, np.int32)     # successful tracks
+        self.pt_first_kf = np.full(max_pt, -1, np.int64)
+        self.pt_desc = np.zeros((max_pt, 256), np.uint8)
+
+        # direct-tracking reference patch state
+        self.pt_patch = np.zeros((max_pt, REF_PATCH, REF_PATCH), np.float32)
+        self.pt_ref_uv = np.zeros((max_pt, 2), np.float32)   # level-0 coords
+        self.pt_ref_level = np.zeros(max_pt, np.int32)
+        self.pt_ref_kf = np.zeros(max_pt, np.int64)           # capture KF
+        self.pt_ref_R = np.zeros((max_pt, 3, 3), np.float32)  # world->refcam
+        self.pt_ref_t = np.zeros((max_pt, 3), np.float32)
+
+        # per-KF image pyramid (device arrays), used for subpixel
+        # re-matching during triangulation and patch refresh
+        self.kf_pyr = [None] * max_kf
+
+        self.n_kf = 0
+        self.n_pt = 0
+
+    def sync_ref_poses(self):
+        """Re-gather every point's stored reference pose from its capture
+        keyframe. MUST be called after any optimization that moves keyframe
+        poses (local BA, loop correction): a stale capture pose makes the
+        direct tracker's affine warps inconsistent with the optimized map —
+        the cache splits into two populations and pose estimation turns
+        bistable (the root cause of the first E2E divergence)."""
+        n = self.n_pt
+        if n == 0:
+            return
+        refs = self.pt_ref_kf[:n]
+        self.pt_ref_R[:n] = self.kf_R[refs]
+        self.pt_ref_t[:n] = self.kf_t[refs]
+
+    # ---------------------------------------------------------------- keyframes
+    def add_keyframe(self, R, t, feats, ts=0.0, frame_id=0,
+                     pyramid=None) -> int:
+        """feats: dict-like with uv [M,2], level, angle, desc, valid (numpy)."""
+        assert self.n_kf < self.max_kf, "keyframe capacity exhausted"
+        k = self.n_kf
+        self.n_kf += 1
+        self.kf_pyr[k] = pyramid
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_valid[k] = True
+        self.kf_ts[k] = ts
+        self.kf_frame_id[k] = frame_id
+        m = min(len(feats["uv"]), self.max_feat)
+        self.kf_feat_uv[k, :m] = feats["uv"][:m]
+        self.kf_feat_level[k, :m] = feats["level"][:m]
+        self.kf_feat_desc[k, :m] = feats["desc"][:m]
+        self.kf_feat_angle[k, :m] = feats["angle"][:m]
+        self.kf_feat_valid[k, :m] = feats["valid"][:m]
+        return k
+
+    def set_pose(self, k, R, t):
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+
+    # ---------------------------------------------------------------- points
+    def alloc_points(self, n: int) -> np.ndarray:
+        assert self.n_pt + n <= self.max_pt, "map point capacity exhausted"
+        ids = np.arange(self.n_pt, self.n_pt + n)
+        self.n_pt += n
+        return ids
+
+    def bind(self, kf: int, slots, pt_ids):
+        """Associate feature slots of a KF with map points (observation)."""
+        slots = np.asarray(slots)
+        pt_ids = np.asarray(pt_ids)
+        old = self.kf_feat_pt[kf, slots]
+        newly = old != pt_ids
+        self.kf_feat_pt[kf, slots] = pt_ids
+        np.add.at(self.pt_obs, pt_ids[newly & (pt_ids >= 0)], 1)
+        np.add.at(self.pt_obs, old[newly & (old >= 0)], -1)
+
+    def kill_points(self, pt_ids):
+        """Cull map points: invalidate + unbind everywhere."""
+        pt_ids = np.asarray(pt_ids)
+        if len(pt_ids) == 0:
+            return
+        self.pt_valid[pt_ids] = False
+        sel = np.isin(self.kf_feat_pt[: self.n_kf], pt_ids)
+        self.kf_feat_pt[: self.n_kf][sel] = -1
+        self.pt_obs[pt_ids] = 0
+
+    # ------------------------------------------------------------- covisibility
+    def covisibility(self, kf: int):
+        """[n_kf] shared-point counts between `kf` and every other KF."""
+        pts = self.kf_feat_pt[kf]
+        pts = pts[pts >= 0]
+        counts = np.zeros(self.n_kf, np.int64)
+        if len(pts) == 0:
+            return counts
+        mask = np.isin(self.kf_feat_pt[: self.n_kf], pts)
+        counts = mask.sum(axis=1)
+        counts[kf] = 0
+        return counts
+
+    def local_window(self, kf: int, size: int):
+        """KF ids of the covisibility-ranked local window including `kf`."""
+        cov = self.covisibility(kf)
+        order = np.argsort(-cov)
+        sel = [kf] + [int(i) for i in order if cov[i] > 0][: size - 1]
+        return sel
+
+    def points_in_kfs(self, kf_ids):
+        """Unique valid point ids observed by the given KFs."""
+        pts = self.kf_feat_pt[kf_ids]
+        pts = np.unique(pts[pts >= 0])
+        return pts[self.pt_valid[pts]]
+
+    def observations(self, kf_ids, pt_ids):
+        """Observation table restricted to (kf_ids x pt_ids).
+
+        Returns (obs_kf_local, obs_pt_local, obs_uv, obs_level) with local
+        indices into kf_ids / pt_ids.
+        """
+        kf_ids = np.asarray(kf_ids)
+        pt_map = np.full(self.max_pt, -1, np.int64)
+        pt_map[pt_ids] = np.arange(len(pt_ids))
+        o_kf, o_pt, o_uv, o_lvl = [], [], [], []
+        for loc, k in enumerate(kf_ids):
+            binds = self.kf_feat_pt[k]
+            slots = np.nonzero(binds >= 0)[0]
+            lp = pt_map[binds[slots]]
+            keep = lp >= 0
+            slots = slots[keep]
+            lp = lp[keep]
+            o_kf.append(np.full(len(slots), loc, np.int32))
+            o_pt.append(lp.astype(np.int32))
+            o_uv.append(self.kf_feat_uv[k, slots])
+            o_lvl.append(self.kf_feat_level[k, slots])
+        return (np.concatenate(o_kf), np.concatenate(o_pt),
+                np.concatenate(o_uv), np.concatenate(o_lvl))

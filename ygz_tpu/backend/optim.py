@@ -68,6 +68,21 @@ def _huber_weight(chi2, delta2):
                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
+def solve_preconditioned(H, b):
+    """Solve H x = b with Jacobi (diagonal) preconditioning.
+
+    SLAM normal equations mix pixel-scale and focal-length-scale entries
+    (H entries span ~1e0..1e10); a raw float32 solve loses the weakly
+    conditioned directions (z-translation for fronto-parallel scenes) and
+    Gauss-Newton stalls. Symmetric Jacobi scaling keeps the solve accurate in
+    float32 — the TPU-native alternative to double precision.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Hs = H / (d[:, None] * d[None, :])
+    y = jnp.linalg.solve(Hs, b / d)
+    return y / d
+
+
 class PoseOptResult(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
@@ -108,8 +123,8 @@ def pose_optimization(X, uv, inv_sigma2, valid, R0, t0, intr,
                 w = w * _huber_weight(c2, delta2)
             H = jnp.einsum("nai,na,naj->ij", A, w[:, None] * jnp.ones_like(r), A)
             b = jnp.einsum("nai,na->i", A, w[:, None] * r)
-            H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6)
-            d = -jnp.linalg.solve(H, b)
+            H = H + 1e-8 * jnp.trace(H) / 6.0 * jnp.eye(6)
+            d = -solve_preconditioned(H, b)
             Rd, td = se3_exp(d)
             return se3_mul(Rd, td, R, t)
 
@@ -212,7 +227,7 @@ def local_bundle_adjustment(kf_R, kf_t, fixed, points, pt_valid,
         g = g * fm
 
         Sd = S.reshape(P * 6, P * 6)
-        dp = jnp.linalg.solve(Sd, g.reshape(P * 6)).reshape(P, 6)
+        dp = solve_preconditioned(Sd, g.reshape(P * 6)).reshape(P, 6)
         dp = dp * fm
 
         # back-substitute landmarks

@@ -19,6 +19,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..backend.optim import solve_preconditioned
 from ..geometry.lie import se3_exp, se3_mul
 from ..ops.align import sample_patches
 from ..ops.image import in_bounds
@@ -125,8 +126,8 @@ def sparse_image_align(ref_pyr, cur_pyr, uv0, X_ref, valid, intr,
             wr = wmask * wh
             H = jnp.einsum("nki,nk,nkj->ij", J, wr, J)
             b = jnp.einsum("nki,nk->i", J, wr * r)
-            H = H + 1e-5 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
-            delta = jnp.linalg.solve(H, b)
+            H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
+            delta = solve_preconditioned(H, b)
             # T <- T * exp(-delta) (inverse compositional, reference :240-244)
             Rd, td = se3_exp(-delta)
             Rn, tn = se3_mul(Rc, tc, Rd, td)

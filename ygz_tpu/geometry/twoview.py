@@ -228,7 +228,7 @@ class TwoViewResult(NamedTuple):
 
 
 def two_view_reconstruct(p1, p2, mask, K, key, num_iters=200,
-                         min_triangulated=50, min_parallax_cos=0.99996):
+                         min_triangulated=50, min_parallax_cos=0.99966):
     """Full monocular two-view bootstrapping, jittable end to end.
 
     Args:

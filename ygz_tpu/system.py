@@ -1,0 +1,104 @@
+"""System facade: the public entry point of the TPU-native SLAM engine.
+
+Mirrors the reference's System class (/root/reference/src/System.cc,
+include/System.h): sensor-mode construction, per-frame Track* entry points,
+trajectory savers (TUM format), reset. Threads are replaced by synchronous
+host orchestration of jitted device stages (async overlap planned).
+
+Currently implemented: MONOCULAR visual odometry/SLAM (two-view init, sparse
+direct alignment, direct local-map tracking, local BA). STEREO / RGBD /
+MONO_VI are scaffolded and land in subsequent rounds (SURVEY.md §7.2 stages
+6-7).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from .geometry import camera as cam_mod
+from .geometry.lie import rotmat_to_quat
+from .frontend.tracker import MonoTracker, TrackerConfig, State
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    MONO_VI = 3
+
+
+class System:
+    """Facade over the tracking front-end + local mapping back-end.
+
+    Args:
+      cam: geometry.camera.Camera (intrinsics + distortion).
+      sensor: Sensor mode.
+      config: TrackerConfig overrides.
+    """
+
+    def __init__(self, cam: cam_mod.Camera, sensor: Sensor = Sensor.MONOCULAR,
+                 config: Optional[TrackerConfig] = None):
+        self.cam = cam
+        self.sensor = sensor
+        if sensor != Sensor.MONOCULAR:
+            raise NotImplementedError(
+                f"{sensor} lands in a later round; MONOCULAR is implemented")
+        self.tracker = MonoTracker(cam, config)
+
+    # ----------------------------------------------------------- per-frame API
+    def track_monocular(self, img, timestamp: float):
+        """Process one grayscale (or [H,W] float) frame.
+
+        Returns (state_name, T_cw [4,4]) — world->camera, or identity until
+        initialized (reference System::TrackMonocular src/System.cc:356).
+        """
+        state, R, t = self.tracker.track(img, timestamp)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return state.name, T
+
+    # ------------------------------------------------------------- trajectory
+    def save_trajectory_tum(self, path: str):
+        """TUM format: ts tx ty tz qx qy qz qw of the CAMERA in world frame
+        (reference System::SaveTrajectoryTUM src/System.cc:452)."""
+        with open(path, "w") as f:
+            for rec in self.tracker.trajectory:
+                if rec.state != "OK":
+                    continue
+                Rwc = rec.R.T
+                twc = -Rwc @ rec.t
+                q = np.asarray(rotmat_to_quat(Rwc))  # [w,x,y,z]
+                f.write(f"{rec.ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        smap = self.tracker.map
+        with open(path, "w") as f:
+            for k in range(smap.n_kf):
+                if not smap.kf_valid[k]:
+                    continue
+                Rwc = smap.kf_R[k].T
+                twc = -Rwc @ smap.kf_t[k]
+                q = np.asarray(rotmat_to_quat(Rwc))
+                f.write(f"{smap.kf_ts[k]:.6f} "
+                        f"{twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    @property
+    def trajectory(self):
+        return self.tracker.trajectory
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def reset(self):
+        """Clear map and tracking state (reference System::Reset)."""
+        cfg = self.tracker.cfg
+        self.tracker = MonoTracker(self.cam, cfg)
+
+    def shutdown(self):
+        pass  # no threads to join in the synchronous design
