@@ -1,0 +1,90 @@
+"""Distributed BA on a virtual 8-device CPU mesh: must agree with the
+single-device optimizer and actually reduce error (SURVEY.md §4 item d)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ygz_tpu.parallel.dist_ba import make_distributed_ba
+from ygz_tpu.geometry import lie
+
+INTR = (400.0, 400.0, 320.0, 240.0)
+
+
+def build_problem(seed=0, P=4, L=256, O=2048):
+    rng = np.random.default_rng(seed)
+    X = np.stack([rng.uniform(-2, 2, L), rng.uniform(-1.5, 1.5, L),
+                  rng.uniform(4, 9, L)], 1).astype(np.float32)
+    poses = []
+    for p in range(P):
+        w = rng.standard_normal(3).astype(np.float32) * 0.02
+        t = np.array([0.3 * p, 0.0, 0.0], np.float32)
+        poses.append((np.asarray(lie.so3_exp(jnp.asarray(w))), t))
+
+    obs_p, obs_l, obs_uv = [], [], []
+    for p, (R, t) in enumerate(poses):
+        Xc = X @ R.T + t
+        uv = np.stack([INTR[0] * Xc[:, 0] / Xc[:, 2] + INTR[2],
+                       INTR[1] * Xc[:, 1] / Xc[:, 2] + INTR[3]], 1)
+        uv += rng.standard_normal(uv.shape).astype(np.float32) * 0.3
+        inb = ((uv > 10).all(1) & (uv < [630, 470]).all(1))
+        for l in np.nonzero(inb)[0]:
+            obs_p.append(p)
+            obs_l.append(l)
+            obs_uv.append(uv[l])
+    n = len(obs_p)
+    assert n <= O, n
+    pad = O - n
+    obs_p = np.array(obs_p + [0] * pad, np.int32)
+    obs_l = np.array(obs_l + [0] * pad, np.int32)
+    obs_uv = np.array(obs_uv + [[0, 0]] * pad, np.float32)
+    obs_w = np.array([1.0] * n + [0.0] * pad, np.float32)
+    return poses, X, obs_p, obs_l, obs_uv, obs_w
+
+
+def test_distributed_ba_converges_and_matches_mesh_sizes():
+    P, L, O = 4, 256, 2048
+    poses, X, obs_p, obs_l, obs_uv, obs_w = build_problem(P=P, L=L, O=O)
+    rng = np.random.default_rng(1)
+
+    # perturb everything except two anchors
+    kf_R, kf_t = [], []
+    for p, (R, t) in enumerate(poses):
+        if p < 2:
+            kf_R.append(R)
+            kf_t.append(t)
+        else:
+            dw = rng.standard_normal(3).astype(np.float32) * 0.01
+            dt = rng.standard_normal(3).astype(np.float32) * 0.03
+            kf_R.append(np.asarray(lie.so3_exp(jnp.asarray(dw))) @ R)
+            kf_t.append(t + dt)
+    Xp = X + rng.standard_normal(X.shape).astype(np.float32) * 0.05
+    free = np.array([False, False] + [True] * (P - 2))
+
+    results = []
+    for n_dev in (1, 8):
+        devs = np.array(jax.devices()[:n_dev])
+        mesh = Mesh(devs, ("obs",))
+        ba = make_distributed_ba(mesh, n_poses=P, n_points=L, iters=12)
+        res = ba(jnp.asarray(np.stack(kf_R)), jnp.asarray(np.stack(kf_t)),
+                 jnp.asarray(free), jnp.asarray(Xp), jnp.ones(L, bool),
+                 jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
+                 jnp.asarray(obs_w), INTR)
+        results.append(jax.tree.map(np.asarray, res))
+
+    # 1-device and 8-device results must agree (same math, psum-reduced)
+    np.testing.assert_allclose(results[0].kf_t, results[1].kf_t, atol=2e-3)
+    np.testing.assert_allclose(results[0].points, results[1].points, atol=2e-2)
+
+    # and the optimization must actually have recovered the poses
+    for p in range(2, P):
+        R_true, t_true = poses[p]
+        R_est = results[1].kf_R[p]
+        t_est = results[1].kf_t[p]
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(R_est @ R_true.T) - 1) / 2, -1, 1)))
+        assert ang < 0.1, f"pose {p} rot err {ang}"
+        assert np.linalg.norm(t_est - t_true) < 0.01
+    err0 = np.linalg.norm(Xp - X, axis=1).mean()
+    err1 = np.linalg.norm(results[1].points - X, axis=1).mean()
+    assert err1 < 0.6 * err0
