@@ -1,0 +1,89 @@
+"""Per-frame tracking benchmark on the real chip.
+
+Measures the steady-state per-frame device pipeline of the direct tracker —
+pyramid build + multi-level sparse image alignment + direct local-map
+tracking (warp + batched KLT x2 passes + staged pose GN) — at EuRoC-like
+shapes (752x480, 4 pyramid levels, 512 cached map points).
+
+Baseline: the reference tracks at ~20 ms/frame (~50 FPS) after its native
+FAST integration (Note.md:132, see BASELINE.md). vs_baseline = fps / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from ygz_tpu.ops.image import build_pyramid
+    from ygz_tpu.frontend.sparse_align import sparse_image_align
+    from ygz_tpu.frontend.direct_tracker import track_local_map_direct
+
+    h, w = 480, 752
+    n_levels = 4
+    n_pts = 512
+    intr = (458.0, 457.0, w / 2.0, h / 2.0)
+    rng = np.random.default_rng(0)
+
+    # smooth-ish texture so gradients are realistic
+    img_np = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25.0
+    from numpy.lib.stride_tricks import sliding_window_view
+    sw = sliding_window_view(np.pad(img_np, 2, mode="edge"), (5, 5))
+    img_np = (sw * k).sum(axis=(2, 3)).astype(np.float32)
+
+    img = jnp.asarray(img_np)
+    X = np.stack([rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
+                  rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+    uv = np.stack([intr[0] * X[:, 0] / X[:, 2] + intr[2],
+                   intr[1] * X[:, 1] / X[:, 2] + intr[3]], 1).astype(np.float32)
+    patches = jnp.asarray(rng.uniform(0, 255, (n_pts, 20, 20)).astype(np.float32))
+    Xd = jnp.asarray(X)
+    uvd = jnp.asarray(uv)
+    valid = jnp.ones(n_pts, bool)
+    lvl0 = jnp.zeros(n_pts, jnp.int32)
+    refR = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_pts, 1, 1)))
+    reft = jnp.zeros((n_pts, 3))
+    I3 = jnp.eye(3)
+    z3 = jnp.zeros(3)
+    align_levels = tuple(range(n_levels - 1, 0, -1))
+
+    def frame(img, prev_pyr):
+        pyr = build_pyramid(img, n_levels, 2.0)
+        ares = sparse_image_align(prev_pyr, pyr, uvd, Xd, valid, intr,
+                                  I3, z3, levels=align_levels, iters=10)
+        dres = track_local_map_direct(pyr, ares.R, ares.t, Xd, valid, patches,
+                                      uvd, lvl0, refR, reft, intr,
+                                      n_levels=n_levels)
+        return pyr, dres
+
+    prev_pyr = build_pyramid(img, n_levels, 2.0)
+    jax.block_until_ready(prev_pyr)
+
+    # warmup / compile
+    for _ in range(3):
+        pyr, dres = frame(img, prev_pyr)
+        jax.block_until_ready(dres)
+
+    n_frames = 30
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        prev_pyr, dres = frame(img, prev_pyr)
+    jax.block_until_ready(dres)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
