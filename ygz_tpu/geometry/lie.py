@@ -84,6 +84,23 @@ def so3_log(R):
     return jnp.where(near_pi, w_pi, w_generic)
 
 
+def so3_log_safe(R, tiny=1e-12):
+    """Autodiff-friendly SO(3) log for |theta| < pi - eps.
+
+    The arccos-based `so3_log` has an infinite derivative at the identity
+    (d/dx arccos at x=1), which poisons forward-mode Jacobians of residuals
+    that vanish at the optimum (pose-graph edges). This version uses
+    theta = atan2(||vee||, (tr-1)/2) with a smoothed norm — exact away from
+    0/pi and with well-behaved gradients at the identity.
+    """
+    v = 0.5 * jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]])
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    s = jnp.sqrt(jnp.sum(v * v) + tiny)
+    theta = jnp.arctan2(s, c)
+    return v * (theta / s)
+
+
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3): exp((w+dw)^) ~= exp((J_l dw)^) exp(w^)."""
     theta2 = jnp.dot(w, w)
