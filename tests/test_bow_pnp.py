@@ -1,0 +1,98 @@
+"""Tests: BoW vocabulary/index and robust PnP."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ygz_tpu.backend.bow import train_vocabulary, BowIndex
+from ygz_tpu.backend.pnp import pnp_ransac
+from ygz_tpu.geometry import lie
+
+INTR = (400.0, 400.0, 320.0, 240.0)
+
+
+def random_desc(rng, n):
+    return rng.integers(0, 2, (n, 256)).astype(np.uint8)
+
+
+class TestBow:
+    def _setup(self, seed=0, n_kf=6, n_desc=120):
+        rng = np.random.default_rng(seed)
+        # each "place" has a base descriptor set; training set = all places
+        places = [random_desc(rng, n_desc) for _ in range(n_kf)]
+        train = np.concatenate(places)
+        doc = np.repeat(np.arange(n_kf), n_desc)
+        vocab = train_vocabulary(train, branching=8, depth=2, doc_ids=doc)
+        index = BowIndex(vocab, max_kf=16)
+        for k, d in enumerate(places):
+            _, bow = index.quantize(d, np.ones(len(d), bool))
+            index.add_keyframe(k, bow)
+        return rng, places, vocab, index
+
+    def _noisy(self, rng, desc, flips=12):
+        out = desc.copy()
+        for i in range(len(out)):
+            f = rng.choice(256, flips, replace=False)
+            out[i, f] ^= 1
+        return out
+
+    def test_reloc_candidates_rank_true_place_first(self):
+        rng, places, vocab, index = self._setup()
+        for k in range(len(places)):
+            q = self._noisy(rng, places[k])
+            _, bow = index.quantize(q, np.ones(len(q), bool))
+            cand = index.reloc_candidates(bow)
+            assert cand, f"no candidates for place {k}"
+            assert cand[0] == k, f"place {k}: got {cand}"
+
+    def test_loop_candidates_exclude_covisible(self):
+        rng, places, vocab, index = self._setup()
+        q = self._noisy(rng, places[2])
+        _, bow = index.quantize(q, np.ones(len(q), bool))
+        cand = index.loop_candidates(bow, min_score=0.0, exclude={2, 3})
+        assert 2 not in cand and 3 not in cand
+
+    def test_scores_self_highest(self):
+        rng, places, vocab, index = self._setup()
+        _, bow = index.quantize(places[1], np.ones(len(places[1]), bool))
+        s = index.scores(bow)
+        assert s.argmax() == 1
+
+
+class TestPnP:
+    def test_recover_pose_with_outliers(self):
+        rng = np.random.default_rng(1)
+        N = 128
+        X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(4, 9, N)], 1).astype(np.float32)
+        w = np.array([0.1, -0.15, 0.05], np.float32)
+        R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        t = np.array([0.3, -0.2, 0.4], np.float32)
+        Xc = X @ R.T + t
+        uv = np.stack([INTR[0] * Xc[:, 0] / Xc[:, 2] + INTR[2],
+                       INTR[1] * Xc[:, 1] / Xc[:, 2] + INTR[3]],
+                      1).astype(np.float32)
+        uv += rng.standard_normal(uv.shape).astype(np.float32) * 0.5
+        uv[:30] += rng.uniform(20, 80, (30, 2)).astype(np.float32)  # outliers
+
+        res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
+                         jnp.ones(N, bool), INTR, jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        R_est = np.asarray(res.R)
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(R_est @ R.T) - 1) / 2, -1, 1)))
+        assert ang < 0.2, ang
+        assert np.linalg.norm(np.asarray(res.t) - t) < 0.01
+        inl = np.asarray(res.inliers)
+        assert not inl[:30].any()
+        assert inl[30:].mean() > 0.9
+
+    def test_degenerate_rejected(self):
+        # random garbage correspondences -> should not claim success
+        rng = np.random.default_rng(2)
+        N = 64
+        X = rng.uniform(-1, 1, (N, 3)).astype(np.float32) + [0, 0, 5]
+        uv = rng.uniform(0, 640, (N, 2)).astype(np.float32)
+        res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
+                         jnp.ones(N, bool), INTR, jax.random.PRNGKey(0),
+                         min_inliers=15)
+        assert not bool(res.ok)
