@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 from ..backend.mapstate import SlamMap
 from ..backend.mapping import LocalMapper
+from ..backend.bow import train_vocabulary, BowIndex
+from ..backend.loopclosing import LoopCloser
+from ..backend.pnp import pnp_ransac
 from ..geometry import camera as cam_mod
 from ..geometry.twoview import two_view_reconstruct
 from ..ops import matching, select
@@ -54,6 +57,10 @@ class TrackerConfig:
     kf_min_gap: int = 3           # min frames between KFs
     kf_max_gap: int = 30          # force KF after this many frames
     ba_window: int = 6
+    enable_loop_closing: bool = True
+    enable_relocalization: bool = True
+    vocab_branching: int = 8
+    vocab_depth: int = 3
 
 
 @dataclass
@@ -105,6 +112,10 @@ class MonoTracker:
 
         self._cache = np.zeros(0, np.int64)   # map point ids in direct cache
         self.debug = {}
+        # place recognition: vocabulary trained in-system at map init
+        self.bow_index: BowIndex = None
+        self.loop_closer: LoopCloser = None
+        self.n_loops_closed = 0
         self._last_kf = -1
         self._last_kf_frame = -1
         self._kf_ref_tracked = 0
@@ -134,6 +145,13 @@ class MonoTracker:
             t = self.map.kf_t[self.map.n_kf - 1] if ok else np.zeros(3)
             self._log(ts, R, t)
             return self.state, R, t
+
+        if self.state == State.LOST:
+            if self.cfg.enable_relocalization and self._relocalize(pyr):
+                self.state = State.OK
+            else:
+                self._log(ts, self._last_R, self._last_t)
+                return self.state, self._last_R, self._last_t
 
         ok, R, t = self._track_frame(pyr, ts)
         self._log(ts, R, t)
@@ -232,6 +250,25 @@ class MonoTracker:
         smap.pt_xyz[: smap.n_pt] /= med2
         smap.kf_t[:2] /= med2
         self.mapper.refresh_patches(smap, kf1, pyr1, ids, slots1)
+
+        # train the place-recognition vocabulary on the initial descriptors
+        # (the reference ships an offline 1M-word ORBvoc; we train in-system
+        # on the engine's own BRIEF pattern — small but self-consistent)
+        if self.cfg.enable_loop_closing or self.cfg.enable_relocalization:
+            desc = np.concatenate([
+                f0["desc"][f0["valid"]],
+                self._feats_to_dict(feats1)["desc"][np.asarray(feats1.valid)]])
+            doc = np.concatenate([
+                np.zeros(int(f0["valid"].sum()), np.int64),
+                np.ones(int(np.asarray(feats1.valid).sum()), np.int64)])
+            vocab = train_vocabulary(desc, branching=self.cfg.vocab_branching,
+                                    depth=self.cfg.vocab_depth, doc_ids=doc)
+            self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
+            self.loop_closer = LoopCloser(self.bow_index, self.cam)
+            for k in (kf0, kf1):
+                _, bow = self.bow_index.quantize(
+                    smap.kf_feat_desc[k], smap.kf_feat_valid[k])
+                self.bow_index.add_keyframe(k, bow)
 
         self.state = State.OK
         self._last_kf = kf1
@@ -462,6 +499,70 @@ class MonoTracker:
         self._last_kf = kf
         self._last_kf_frame = self.frame_id
         self._kf_ref_tracked = int((smap.kf_feat_pt[kf] >= 0).sum())
+
+        # place recognition: index this KF, attempt loop closure
+        if self.bow_index is not None:
+            _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf],
+                                             smap.kf_feat_valid[kf])
+            self.bow_index.add_keyframe(kf, bow)
+            if self.cfg.enable_loop_closing and self.loop_closer is not None:
+                if self.loop_closer.process_keyframe(smap, kf, bow):
+                    self.n_loops_closed += 1
+                    # poses moved globally: refresh patches + velocity reset
+                    slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
+                    self.mapper.refresh_patches(
+                        smap, kf, pyr, smap.kf_feat_pt[kf, slots], slots)
+                    self._vel = (np.eye(3, dtype=np.float32),
+                                 np.zeros(3, np.float32))
+
         self._rebuild_cache()
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+
+    # ---------------------------------------------------------- relocalization
+    def _relocalize(self, pyr) -> bool:
+        """BoW candidates + robust PnP (reference Tracking::Relocalization
+        src/Tracking.cc:1826-1978, via our batched linear-PnP RANSAC)."""
+        if self.bow_index is None:
+            return False
+        smap = self.map
+        feats = self.extractor(pyr)
+        f = self._feats_to_dict(feats)
+        _, bow = self.bow_index.quantize(f["desc"], f["valid"])
+        cands = self.bow_index.reloc_candidates(bow, max_candidates=5)
+        for kf in cands:
+            bound = smap.kf_feat_pt[kf] >= 0
+            if bound.sum() < 15:
+                continue
+            idx, ok = matching.match_with_windows(
+                jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
+                jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
+                max_dist=matching.TH_LOW, ratio=0.75, mutual=True)
+            idx = np.asarray(idx)
+            okm = np.asarray(ok)
+            rows = np.nonzero(okm)[0]
+            if len(rows) < 10:
+                continue
+            pt_ids = smap.kf_feat_pt[kf, idx[rows]]
+            cap = 512
+            n = min(len(rows), cap)
+            X = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            valid = np.zeros(cap, bool)
+            X[:n] = smap.pt_xyz[pt_ids[:n]]
+            uv[:n] = f["uv"][rows[:n]]
+            valid[:n] = smap.pt_valid[pt_ids[:n]]
+            self._rng, key = jax.random.split(self._rng)
+            res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
+                             jnp.asarray(valid), self.intr, key,
+                             min_inliers=15)
+            if bool(res.ok):
+                R = np.asarray(res.R)
+                t = np.asarray(res.t)
+                self._vel = (np.eye(3, dtype=np.float32),
+                             np.zeros(3, np.float32))
+                self._last_kf = kf
+                self._rebuild_cache()
+                self._set_last_frame(pyr, R, t, cache_uv=None)
+                return True
+        return False
