@@ -133,10 +133,12 @@ class MonoTracker:
         return np.asarray(R), np.asarray(t)
 
     # ------------------------------------------------------------------ entry
-    def track(self, img, ts: float):
+    def track(self, img, ts: float, depth=None):
         """Process one grayscale frame. Returns (state, R, t) with (R,t) the
-        world->camera pose estimate (identity until initialized)."""
+        world->camera pose estimate (identity until initialized).
+        `depth`: optional [H,W] metric depth map (RGB-D mode)."""
         self.frame_id += 1
+        self._cur_depth = depth
         pyr = self._build_pyramid(img)
 
         if self.state == State.NOT_INITIALIZED:
@@ -480,6 +482,10 @@ class MonoTracker:
         kf = smap.add_keyframe(R, t, feats, ts=ts, frame_id=self.frame_id,
                                pyramid=pyr)
         smap.bind(kf, np.arange(m), tracked_ids[:m])
+        # depth-seeded map points (RGB-D / stereo-depth path; reference
+        # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
+        if self._cur_depth is not None:
+            self._create_depth_points(smap, kf, pyr)
         # triangulate new points against recent covisible keyframes
         cov = smap.covisibility(kf)
         partners = list(np.argsort(-cov)[:3])
@@ -518,6 +524,41 @@ class MonoTracker:
         self._rebuild_cache()
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+
+    # ------------------------------------------------------------ depth seeds
+    def _create_depth_points(self, smap, kf, pyr, max_depth: float = 40.0):
+        """Create map points for unbound features with valid depth."""
+        depth = self._cur_depth
+        unbound = smap.kf_feat_valid[kf] & (smap.kf_feat_pt[kf] < 0)
+        slots = np.nonzero(unbound)[0]
+        if len(slots) == 0:
+            return 0
+        uv = smap.kf_feat_uv[kf, slots]
+        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth.shape[1] - 1)
+        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
+        d = np.asarray(depth)[yi, xi]
+        ok = (d > 0.1) & (d < max_depth) & np.isfinite(d)
+        ok &= np.asarray(self.mapper.patch_in_bounds(
+            uv, smap.kf_feat_level[kf, slots]))
+        slots = slots[ok]
+        if len(slots) == 0:
+            return 0
+        uv = uv[ok]
+        d = d[ok]
+        xn = np.stack([(uv[:, 0] - self.cam.cx) / self.cam.fx,
+                       (uv[:, 1] - self.cam.cy) / self.cam.fy], -1)
+        Xc = np.concatenate([xn * d[:, None], d[:, None]], -1)
+        R = smap.kf_R[kf]
+        t = smap.kf_t[kf]
+        Xw = (Xc - t) @ R  # R^T (Xc - t)
+        ids = smap.alloc_points(len(slots))
+        smap.pt_xyz[ids] = Xw.astype(np.float32)
+        smap.pt_valid[ids] = True
+        smap.pt_first_kf[ids] = kf
+        smap.pt_desc[ids] = smap.kf_feat_desc[kf, slots]
+        smap.bind(kf, slots, ids)
+        self.mapper.refresh_patches(smap, kf, pyr, ids, slots)
+        return len(slots)
 
     # ---------------------------------------------------------- relocalization
     def _relocalize(self, pyr) -> bool:
@@ -566,3 +607,48 @@ class MonoTracker:
                 self._set_last_frame(pyr, R, t, cache_uv=None)
                 return True
         return False
+
+
+class RgbdTracker(MonoTracker):
+    """RGB-D tracking: instant metric initialization from the depth map
+    (reference Tracking::StereoInitialization src/Tracking.cc:745-793), then
+    the same direct pipeline; new map points are depth-seeded at keyframes
+    with triangulation as a complement for far features."""
+
+    def _try_initialize(self, pyr, ts) -> bool:
+        if self._cur_depth is None:
+            return False
+        smap = self.map
+        feats = self.extractor(pyr)
+        f = self._feats_to_dict(feats)
+        if int(f["valid"].sum()) < 100:
+            return False
+        kf0 = smap.add_keyframe(np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32), f, ts=ts,
+                                frame_id=self.frame_id, pyramid=pyr)
+        n = self._create_depth_points(smap, kf0, pyr)
+        if n < 50:
+            return False
+
+        if self.cfg.enable_loop_closing or self.cfg.enable_relocalization:
+            from ..backend.bow import train_vocabulary, BowIndex
+            from ..backend.loopclosing import LoopCloser
+
+            desc = f["desc"][f["valid"]]
+            vocab = train_vocabulary(desc, branching=self.cfg.vocab_branching,
+                                     depth=self.cfg.vocab_depth)
+            self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
+            self.loop_closer = LoopCloser(self.bow_index, self.cam)
+            _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf0],
+                                             smap.kf_feat_valid[kf0])
+            self.bow_index.add_keyframe(kf0, bow)
+
+        self.state = State.OK
+        self._last_kf = kf0
+        self._last_kf_frame = self.frame_id
+        self._kf_ref_tracked = n
+        self._rebuild_cache()
+        self._set_last_frame(pyr, smap.kf_R[kf0], smap.kf_t[kf0],
+                             cache_uv=None)
+        self._vel = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        return True

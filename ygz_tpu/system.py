@@ -19,7 +19,7 @@ import numpy as np
 
 from .geometry import camera as cam_mod
 from .geometry.lie import rotmat_to_quat
-from .frontend.tracker import MonoTracker, TrackerConfig, State
+from .frontend.tracker import MonoTracker, RgbdTracker, TrackerConfig, State
 
 
 class Sensor(enum.Enum):
@@ -42,10 +42,14 @@ class System:
                  config: Optional[TrackerConfig] = None):
         self.cam = cam
         self.sensor = sensor
-        if sensor != Sensor.MONOCULAR:
+        if sensor == Sensor.MONOCULAR:
+            self.tracker = MonoTracker(cam, config)
+        elif sensor == Sensor.RGBD:
+            self.tracker = RgbdTracker(cam, config)
+        else:
             raise NotImplementedError(
-                f"{sensor} lands in a later round; MONOCULAR is implemented")
-        self.tracker = MonoTracker(cam, config)
+                f"{sensor} lands in a later round; MONOCULAR and RGBD are "
+                f"implemented")
 
     # ----------------------------------------------------------- per-frame API
     def track_monocular(self, img, timestamp: float):
@@ -55,6 +59,15 @@ class System:
         initialized (reference System::TrackMonocular src/System.cc:356).
         """
         state, R, t = self.tracker.track(img, timestamp)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return state.name, T
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        """RGB-D entry point (reference System::TrackRGBD src/System.cc:295):
+        `depth` is a metric [H,W] depth map aligned with `img`."""
+        state, R, t = self.tracker.track(img, timestamp, depth=depth)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
