@@ -484,7 +484,7 @@ class MonoTracker:
         smap.bind(kf, np.arange(m), tracked_ids[:m])
         # depth-seeded map points (RGB-D / stereo-depth path; reference
         # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
-        if self._cur_depth is not None:
+        if self._depth_source_available():
             self._create_depth_points(smap, kf, pyr)
         # triangulate new points against recent covisible keyframes
         cov = smap.covisibility(kf)
@@ -526,17 +526,27 @@ class MonoTracker:
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
 
     # ------------------------------------------------------------ depth seeds
+    def _depth_source_available(self) -> bool:
+        return getattr(self, "_cur_depth", None) is not None
+
+    def _feature_depths(self, smap, kf, slots):
+        """Per-slot metric depths for depth-seeded point creation.
+        RGB-D: direct lookup in the frame's depth map. Overridden by the
+        stereo tracker (disparity search)."""
+        depth = self._cur_depth
+        uv = smap.kf_feat_uv[kf, slots]
+        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth.shape[1] - 1)
+        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
+        return np.asarray(depth)[yi, xi]
+
     def _create_depth_points(self, smap, kf, pyr, max_depth: float = 40.0):
         """Create map points for unbound features with valid depth."""
-        depth = self._cur_depth
         unbound = smap.kf_feat_valid[kf] & (smap.kf_feat_pt[kf] < 0)
         slots = np.nonzero(unbound)[0]
         if len(slots) == 0:
             return 0
+        d = self._feature_depths(smap, kf, slots)
         uv = smap.kf_feat_uv[kf, slots]
-        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth.shape[1] - 1)
-        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
-        d = np.asarray(depth)[yi, xi]
         ok = (d > 0.1) & (d < max_depth) & np.isfinite(d)
         ok &= np.asarray(self.mapper.patch_in_bounds(
             uv, smap.kf_feat_level[kf, slots]))
@@ -652,3 +662,47 @@ class RgbdTracker(MonoTracker):
                              cache_uv=None)
         self._vel = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
         return True
+
+
+class StereoTracker(RgbdTracker):
+    """Stereo tracking on rectified pairs: feature depths come from the
+    batched disparity search (ops/stereo.py; the reference computes them in
+    Frame::ComputeStereoMatches src/Frame.cc:509-682). Initialization and
+    point seeding reuse the depth-seeded path (metric scale from baseline)."""
+
+    def track(self, img, ts: float, depth=None, right=None):
+        self._cur_right = right
+        return super().track(img, ts, depth=depth)
+
+    def _depth_source_available(self) -> bool:
+        return getattr(self, "_cur_right", None) is not None
+
+    def _try_initialize(self, pyr, ts) -> bool:
+        # reuse the RGB-D instant init; depths come from _feature_depths
+        if getattr(self, "_cur_right", None) is None:
+            return False
+        self._cur_depth = True  # sentinel: RgbdTracker init checks not-None
+        ok = super()._try_initialize(pyr, ts)
+        self._cur_depth = None
+        return ok
+
+    def _feature_depths(self, smap, kf, slots):
+        from ..ops.stereo import stereo_match_features
+
+        bf = self.cam.bf
+        assert bf > 0, "stereo requires Camera.bf (baseline * fx)"
+        uv = smap.kf_feat_uv[kf, slots]
+        cap = self.map.max_feat
+        uv_pad = np.zeros((cap, 2), np.float32)
+        v_pad = np.zeros(cap, bool)
+        n = len(slots)
+        uv_pad[:n] = uv
+        v_pad[:n] = True
+        imgL = smap.kf_pyr[kf][0]  # level-0 left image of this keyframe
+        disp, ok = stereo_match_features(
+            imgL, jnp.asarray(self._cur_right, dtype=jnp.float32),
+            jnp.asarray(uv_pad), jnp.asarray(v_pad))
+        disp = np.asarray(disp)[:n]
+        ok = np.asarray(ok)[:n]
+        d = np.where(ok & (disp > 0.1), bf / np.maximum(disp, 1e-3), -1.0)
+        return d.astype(np.float32)

@@ -19,7 +19,8 @@ import numpy as np
 
 from .geometry import camera as cam_mod
 from .geometry.lie import rotmat_to_quat
-from .frontend.tracker import MonoTracker, RgbdTracker, TrackerConfig, State
+from .frontend.tracker import (MonoTracker, RgbdTracker, StereoTracker,
+                               TrackerConfig, State)
 
 
 class Sensor(enum.Enum):
@@ -46,10 +47,12 @@ class System:
             self.tracker = MonoTracker(cam, config)
         elif sensor == Sensor.RGBD:
             self.tracker = RgbdTracker(cam, config)
+        elif sensor == Sensor.STEREO:
+            self.tracker = StereoTracker(cam, config)
         else:
             raise NotImplementedError(
-                f"{sensor} lands in a later round; MONOCULAR and RGBD are "
-                f"implemented")
+                f"{sensor} lands in a later round; MONOCULAR, STEREO and "
+                f"RGBD are implemented")
 
     # ----------------------------------------------------------- per-frame API
     def track_monocular(self, img, timestamp: float):
@@ -59,6 +62,16 @@ class System:
         initialized (reference System::TrackMonocular src/System.cc:356).
         """
         state, R, t = self.tracker.track(img, timestamp)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return state.name, T
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """Stereo entry point (reference System::TrackStereo
+        src/System.cc:247): rectified pair; Camera.bf must be set."""
+        state, R, t = self.tracker.track(img_left, timestamp,
+                                         right=img_right)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
