@@ -1,0 +1,168 @@
+"""Visual-inertial frame optimization with marginalized prior.
+
+Re-design of the reference's NavState frame optimizers
+(Optimizer::PoseOptimization(Frame, Frame|KeyFrame, preint, gw, marg)
+/root/reference/src/Optimizer.cc:278-862, IMU factor src/IMU/
+g2otypes.cpp:6-199): the current frame's 15-DoF NavState
+[dP, dV, dPhi, dbg, dba] is optimized against
+  * the IMU preintegration factor to the previous frame/keyframe (held
+    fixed), weighted by the inverse 9x9 preintegration covariance;
+  * the bias random-walk factor to the previous biases;
+  * batched monocular reprojection residuals through the body pose
+    (T_cw = T_cb * T_bw);
+  * an optional 15x15 marginalized prior carried from the previous frame.
+
+Jacobians come from one forward-mode autodiff of the stacked residual (the
+reference hand-derives ~200 lines of analytic Jacobians); IRLS Huber weights
+and chi2 gating follow the reference's constants. The posterior information
+matrix is returned as the next frame's prior (computeMarginals,
+Optimizer.cc:598-613 — trivial here because only one state is optimized).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import so3_exp, so3_log_safe
+from ..imu.navstate import NavState
+from ..imu.preintegration import PreintState, GYR_BIAS_RW2, ACC_BIAS_RW2
+from .optim import _huber_weight, solve_preconditioned, CHI2_MONO
+
+HUBER2_PVR = 21.666    # 0.99 chi2, 9 DoF (SURVEY.md §A.4)
+HUBER2_BIAS = 16.812   # 6 DoF
+HUBER2_PRIOR = 30.5779 # 15 DoF
+
+
+class VioPoseResult(NamedTuple):
+    P: jnp.ndarray
+    V: jnp.ndarray
+    R: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+    marg_info: jnp.ndarray  # [15,15] posterior information = next prior
+
+
+def _inc(state, d):
+    P, V, R, bg, ba = state
+    return (P + d[0:3], V + d[3:6], R @ so3_exp(d[6:9]),
+            bg + d[9:12], ba + d[12:15])
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def vio_pose_optimization(cur, prev, pre: PreintState, bias_lin,
+                          prior_mean, prior_info, has_prior,
+                          pt_xyz, uv, inv_sigma2, valid,
+                          Rcb, tcb, intr, gw,
+                          rounds: int = 3, iters: int = 8):
+    """Optimize the current frame NavState.
+
+    cur/prev/prior_mean: tuples (P, V, R, bg, ba) — TOTAL biases; prev fixed.
+    pre: preintegration prev->cur integrated at `bias_lin` = (bg_lin, ba_lin).
+    prior_info: [15,15]; has_prior: scalar bool (0-weighted when absent).
+    pt_xyz [N,3] world points, uv [N,2], inv_sigma2 [N], valid [N].
+    Rcb/tcb: camera-from-body extrinsic. intr: (fx, fy, cx, cy). gw: [3].
+    Returns VioPoseResult.
+    """
+    fx, fy, cx, cy = intr
+    N = pt_xyz.shape[0]
+    dt = pre.dt
+    bg_lin, ba_lin = bias_lin
+    P0, V0, R0, bg0, ba0 = prev
+    Pm, Vm, Rm, bgm, bam = prior_mean
+
+    imu_info = jnp.linalg.inv(pre.cov + 1e-10 * jnp.eye(9))
+    # symmetric weighting via Cholesky of the information
+    imu_L = jnp.linalg.cholesky(0.5 * (imu_info + imu_info.T))
+    bias_w = jnp.concatenate([
+        jnp.full(3, 1.0 / (GYR_BIAS_RW2 * jnp.maximum(dt, 1e-3))),
+        jnp.full(3, 1.0 / (ACC_BIAS_RW2 * jnp.maximum(dt, 1e-3)))])
+    bias_L = jnp.sqrt(bias_w)
+    prior_L = jnp.linalg.cholesky(
+        0.5 * (prior_info + prior_info.T) + 1e-8 * jnp.eye(15))
+    prior_scale = jnp.where(has_prior, 1.0, 0.0)
+
+    def residuals(d, state, inl_mask):
+        P, V, R, bg, ba = _inc(state, d)
+        # ---- IMU preintegration factor (bias-corrected) ----
+        dbg = bg - bg_lin
+        dba = ba - ba_lin
+        dP = pre.dP + pre.J_P_bg @ dbg + pre.J_P_ba @ dba
+        dV = pre.dV + pre.J_V_bg @ dbg + pre.J_V_ba @ dba
+        dR = pre.dR @ so3_exp(pre.J_R_bg @ dbg)
+        R0t = R0.T
+        rP = R0t @ (P - P0 - V0 * dt - 0.5 * gw * dt * dt) - dP
+        rV = R0t @ (V - V0 - gw * dt) - dV
+        rR = so3_log_safe(dR.T @ (R0t @ R))
+        r_imu = imu_L.T @ jnp.concatenate([rP, rV, rR])
+        # ---- bias random walk to previous ----
+        r_bias = bias_L * jnp.concatenate([bg - bg0, ba - ba0])
+        # ---- prior ----
+        r_pr = prior_scale * (prior_L.T @ jnp.concatenate([
+            P - Pm, V - Vm, so3_log_safe(Rm.T @ R), bg - bgm, ba - bam]))
+        # ---- reprojection through the body pose ----
+        Xb = (pt_xyz - P[None, :]) @ R           # R_wb^T (X - P)
+        Xc = Xb @ Rcb.T + tcb[None, :]
+        zi = 1.0 / jnp.maximum(Xc[:, 2], 1e-6)
+        u = fx * Xc[:, 0] * zi + cx
+        v = fy * Xc[:, 1] * zi + cy
+        w_r = jnp.sqrt(inv_sigma2 * inl_mask * (Xc[:, 2] > 0.1))
+        r_uv = (jnp.stack([u - uv[:, 0], v - uv[:, 1]], -1)
+                * w_r[:, None]).reshape(-1)
+        return jnp.concatenate([r_imu, r_bias, r_pr, r_uv])
+
+    def reproj_chi2(state):
+        P, V, R, bg, ba = state
+        Xb = (pt_xyz - P[None, :]) @ R
+        Xc = Xb @ Rcb.T + tcb[None, :]
+        zi = 1.0 / jnp.maximum(Xc[:, 2], 1e-6)
+        u = fx * Xc[:, 0] * zi + cx
+        v = fy * Xc[:, 1] * zi + cy
+        e2 = ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) * inv_sigma2
+        return e2, Xc[:, 2]
+
+    state = cur
+    inl = valid
+
+    def gn_round(state, inl_mask, use_huber):
+        inl_f = inl_mask.astype(jnp.float32)
+
+        def body(_, st):
+            z = jnp.zeros(15)
+            r = residuals(z, st, inl_f)
+            J = jax.jacfwd(residuals)(z, st, inl_f)
+            if use_huber:
+                # IRLS on the reprojection part (2N tail)
+                ntail = 2 * N
+                r_uv = r[-ntail:].reshape(N, 2)
+                c2 = jnp.sum(r_uv * r_uv, axis=1)
+                wu = jnp.sqrt(_huber_weight(c2, CHI2_MONO))
+                wfull = jnp.concatenate([
+                    jnp.ones(r.shape[0] - ntail),
+                    jnp.repeat(wu, 2)])
+            else:
+                wfull = jnp.ones(r.shape[0])
+            H = (J * wfull[:, None]).T @ J
+            b = (J * wfull[:, None]).T @ r
+            H = H + 1e-8 * jnp.trace(H) / 15.0 * jnp.eye(15)
+            d = -solve_preconditioned(H, b)
+            return _inc(st, d)
+
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    for rd in range(rounds):
+        state = gn_round(state, inl, use_huber=rd < rounds - 1)
+        e2, z = reproj_chi2(state)
+        inl = valid & (e2 < CHI2_MONO) & (z > 0.1)
+
+    # posterior information = final Gauss-Newton Hessian
+    z15 = jnp.zeros(15)
+    Jf = jax.jacfwd(residuals)(z15, state, inl.astype(jnp.float32))
+    H = Jf.T @ Jf
+    P, V, R, bg, ba = state
+    return VioPoseResult(P=P, V=V, R=R, bg=bg, ba=ba, inliers=inl,
+                         n_inliers=jnp.sum(inl), marg_info=H)

@@ -288,10 +288,16 @@ class MonoTracker:
         cfg = self.cfg
         smap = self.map
 
-        # motion-model prediction: T_pred = T_vel * T_last
-        Rv, tv = self._vel
-        R_pred = Rv @ self._last_R
-        t_pred = Rv @ self._last_t + tv
+        # motion-model prediction: T_pred = T_vel * T_last (the mono-VI
+        # subclass overrides _predict_pose with IMU propagation,
+        # reference PredictNavStateByIMU src/Tracking.cc:2078)
+        pred = self._predict_pose()
+        if pred is not None:
+            R_pred, t_pred = pred
+        else:
+            Rv, tv = self._vel
+            R_pred = Rv @ self._last_R
+            t_pred = Rv @ self._last_t + tv
 
         # ---- sparse image alignment from last frame ----------------------
         self.debug = {"n_align_in": int(self._last_valid.sum())}
@@ -353,10 +359,21 @@ class MonoTracker:
         np.add.at(smap.pt_found, ids[tracked], 1)
 
         if n_inliers < cfg.min_track_inliers:
+            if self._on_vision_failed(pyr, ts, R_pred, t_pred):
+                # IMU-only fallback kept the state alive (vision-weak mode,
+                # reference src/Tracking.cc:684-698)
+                self._set_last_frame(pyr, R_pred, t_pred, cache_uv=None)
+                return True, R_pred, t_pred
             self.state = State.LOST
             return False, self._last_R, self._last_t
 
         R_cur, t_cur = self._pose_np(dres.R, dres.t)
+        # sensor-fusion hook (mono-VI: NavState optimization with the
+        # tracked observations + preintegration factor)
+        fused = self._fuse_pose(R_cur, t_cur, ids[tracked], uv[tracked],
+                                lvl[tracked])
+        if fused is not None:
+            R_cur, t_cur = fused
         self.state = State.OK
 
         # velocity model update
@@ -524,6 +541,22 @@ class MonoTracker:
         self._rebuild_cache()
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+
+    # ------------------------------------------------------------ vio hooks
+    def _predict_pose(self):
+        """Optional pose prediction override (mono-VI: IMU propagation).
+        Return (R_pred, t_pred) or None to use the velocity model."""
+        return None
+
+    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
+        """Optional sensor-fusion refinement of the visually tracked pose.
+        Return (R, t) or None to keep the visual pose."""
+        return None
+
+    def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:
+        """Called when direct tracking fails. Return True to keep tracking
+        with the predicted pose (IMU dead-reckoning); False -> LOST."""
+        return False
 
     # ------------------------------------------------------------ depth seeds
     def _depth_source_available(self) -> bool:

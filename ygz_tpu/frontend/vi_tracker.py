@@ -1,0 +1,291 @@
+"""Monocular-inertial tracking (mono-VI).
+
+Re-design of the reference's VIO layer on top of the mono tracker
+(/root/reference/src/Tracking.cc — GrabImageMonoVI :103, PredictNavStateByIMU
+:2078, TrackLocalMap[Direct]WithIMU :1264/:1342; VINS initialization
+LocalMapping::TryInitVIO src/LocalMapping.cc:189-723):
+
+  * before VINS init: pure mono visual tracking while IMU windows accumulate
+    per keyframe;
+  * VINS init (imu/vins_init.py) recovers gyro bias, metric scale, gravity
+    and accel bias; the whole map is RESCALED to metric
+    (MapPoint::UpdateScale semantics) and NavStates are instantiated;
+  * after init: IMU propagation predicts each frame's pose (replacing the
+    constant-velocity model), the direct tracker refines it visually, and
+    the 15-DoF NavState optimizer fuses vision + preintegration + the
+    marginalized prior (backend/vio_optim.py);
+  * when vision fails, the state is propagated by IMU alone and tracking
+    continues (vision-weak mode, reference src/Tracking.cc:684-698).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..imu.preintegration import preintegrate, predict_navstate, PreintState
+from ..imu.navstate import NavState
+from ..imu.vins_init import vins_initialize
+from ..backend.vio_optim import vio_pose_optimization
+from .tracker import MonoTracker, TrackerConfig, State
+
+FRAME_IMU_CAP = 64
+KF_IMU_CAP = 512
+
+
+def _pack_window(samples, prev_t, cap):
+    """samples: [(t, gyro[3], acc[3])] -> padded arrays (om, ac, dts, valid)."""
+    n = min(len(samples), cap)
+    om = np.zeros((cap, 3), np.float32)
+    ac = np.zeros((cap, 3), np.float32)
+    dts = np.zeros(cap, np.float32)
+    valid = np.zeros(cap, bool)
+    t_prev = prev_t
+    for i in range(n):
+        t, g, a = samples[i]
+        om[i] = g
+        ac[i] = a
+        dts[i] = np.clip(t - t_prev, 1e-4, 0.05)
+        valid[i] = True
+        t_prev = t
+    return om, ac, dts, valid
+
+
+class MonoViTracker(MonoTracker):
+    def __init__(self, cam: cam_mod.Camera, cfg: TrackerConfig = None,
+                 Tbc: np.ndarray = None, gravity_mag: float = 9.810,
+                 vins_init_kfs: int = 8, vins_init_time: float = 5.0):
+        super().__init__(cam, cfg)
+        self.Tbc = np.eye(4, dtype=np.float32) if Tbc is None \
+            else np.asarray(Tbc, np.float32)
+        self.Rbc = self.Tbc[:3, :3]
+        self.tbc = self.Tbc[:3, 3]
+        # body->cam (for the VIO optimizer's reprojection)
+        self.Rcb = self.Rbc.T
+        self.tcb = -self.Rbc.T @ self.tbc
+        self.gravity_mag = gravity_mag
+        self.vins_init_kfs = vins_init_kfs
+        self.vins_init_time = vins_init_time
+
+        self.vio_ready = False
+        self.gravity_w: Optional[np.ndarray] = None
+        self.bg = np.zeros(3, np.float32)
+        self.ba = np.zeros(3, np.float32)
+        self._ns: Optional[tuple] = None       # (P,V,R) body state @ last frame
+        self._prior_info = np.eye(15, dtype=np.float32)
+        self._has_prior = False
+        self._prior_mean = None
+
+        self._imu_frame = []        # samples since last frame
+        self._imu_since_kf = []     # samples since last keyframe
+        self._frame_pre: Optional[PreintState] = None
+        self._last_frame_ts = None
+        self._kf_imu = {}           # kf id -> packed window (since prev KF)
+        self._kf_order = []
+        self.vins_scale = None
+
+    # ------------------------------------------------------------------ entry
+    def track(self, img, ts: float, imu=None, depth=None):
+        """imu: iterable of (t, gyro[3], acc[3]) with t <= ts, since the
+        previous frame (the interleaving of mono_euroc_vins.cc:97-133)."""
+        if imu is not None:
+            self._imu_frame = list(imu)
+            self._imu_since_kf.extend(self._imu_frame)
+        prev_ts = self._last_frame_ts if self._last_frame_ts is not None \
+            else (self._imu_frame[0][0] if self._imu_frame else ts)
+        om, ac, dts, valid = _pack_window(self._imu_frame, prev_ts,
+                                          FRAME_IMU_CAP)
+        self._frame_pre = preintegrate(
+            jnp.asarray(om), jnp.asarray(ac), jnp.asarray(dts),
+            jnp.asarray(valid), jnp.asarray(self.bg), jnp.asarray(self.ba))
+        out = super().track(img, ts, depth=depth)
+        # start the keyframe-IMU chain at the map-initialization keyframe
+        if not self._kf_order and self.map.n_kf >= 2:
+            self._kf_order = [self.map.n_kf - 1]
+            self._imu_since_kf = []
+        self._last_frame_ts = ts
+        self._imu_frame = []
+        # maintain the body NavState estimate at the (now) last frame
+        self._update_navstate_from_pose()
+        return out
+
+    # ----------------------------------------------------------- conversions
+    def _cam_to_body(self, R_cw, t_cw):
+        R_wc = R_cw.T
+        p_wc = -R_wc @ t_cw
+        R_wb = R_wc @ self.Rbc.T
+        P_wb = p_wc + R_wc @ (-self.Rbc.T @ self.tbc)
+        return R_wb, P_wb
+
+    def _body_to_cam(self, R_wb, P_wb):
+        R_wc = R_wb @ self.Rbc
+        p_wc = P_wb + R_wb @ self.tbc
+        R_cw = R_wc.T
+        t_cw = -R_cw @ p_wc
+        return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+    def _update_navstate_from_pose(self):
+        if self._last_R is None:
+            return
+        R_wb, P_wb = self._cam_to_body(self._last_R, self._last_t)
+        if self._ns is None or not self.vio_ready:
+            V = np.zeros(3, np.float32)
+            if self._ns is not None and self._last_frame_ts is not None:
+                pass
+            self._ns = (P_wb.astype(np.float32), V, R_wb.astype(np.float32))
+
+    # ------------------------------------------------------------ vio hooks
+    def _predict_pose(self):
+        if not self.vio_ready or self._ns is None:
+            return None
+        P, V, R = self._ns
+        ns = NavState(P=jnp.asarray(P), V=jnp.asarray(V), R=jnp.asarray(R),
+                      bg=jnp.asarray(self.bg), ba=jnp.asarray(self.ba),
+                      dbg=jnp.zeros(3), dba=jnp.zeros(3))
+        ns2 = predict_navstate(ns, self._frame_pre,
+                               jnp.asarray(self.gravity_w))
+        self._pred_body = (np.asarray(ns2.P), np.asarray(ns2.V),
+                           np.asarray(ns2.R))
+        return self._body_to_cam(np.asarray(ns2.R), np.asarray(ns2.P))
+
+    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
+        if not self.vio_ready or self._ns is None:
+            return None
+        smap = self.map
+        P0, V0, R0 = self._ns
+        R_wb, P_wb = self._cam_to_body(R_cur, t_cur)
+        # velocity init: propagate or finite-difference
+        Vc = getattr(self, "_pred_body", (None, V0, None))[1]
+
+        cap = self.cfg.max_track
+        n = min(len(ids), cap)
+        X = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        is2 = np.ones(cap, np.float32)
+        val = np.zeros(cap, bool)
+        X[:n] = smap.pt_xyz[ids[:n]]
+        uvp[:n] = uv[:n]
+        is2[:n] = 0.25 ** lvl[:n]
+        val[:n] = True
+
+        prior_mean = self._prior_mean if self._has_prior else \
+            (jnp.asarray(P0), jnp.asarray(V0), jnp.asarray(R0),
+             jnp.asarray(self.bg), jnp.asarray(self.ba))
+        res = vio_pose_optimization(
+            (jnp.asarray(P_wb.astype(np.float32)),
+             jnp.asarray(np.asarray(Vc, np.float32)),
+             jnp.asarray(R_wb.astype(np.float32)),
+             jnp.asarray(self.bg), jnp.asarray(self.ba)),
+            (jnp.asarray(P0), jnp.asarray(V0), jnp.asarray(R0),
+             jnp.asarray(self.bg), jnp.asarray(self.ba)),
+            self._frame_pre, (jnp.asarray(self.bg), jnp.asarray(self.ba)),
+            prior_mean, jnp.asarray(self._prior_info),
+            jnp.asarray(self._has_prior),
+            jnp.asarray(X), jnp.asarray(uvp), jnp.asarray(is2),
+            jnp.asarray(val),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
+            jnp.asarray(self.gravity_w))
+
+        P1 = np.asarray(res.P)
+        V1 = np.asarray(res.V)
+        R1 = np.asarray(res.R)
+        self.bg = np.asarray(res.bg).astype(np.float32)
+        self.ba = np.asarray(res.ba).astype(np.float32)
+        self._ns = (P1.astype(np.float32), V1.astype(np.float32),
+                    R1.astype(np.float32))
+        # NOTE: the reference carries a 15x15 marginalized PAIR prior
+        # (computeMarginals of the two-frame graph, Optimizer.cc:598-613).
+        # Re-using the single-frame posterior as a prior anchors the next
+        # frame's position to the previous one and freezes the trajectory —
+        # so until proper pair marginalization lands, temporal coupling comes
+        # from the IMU factor + the bias random-walk term only.
+        self._has_prior = False
+        return self._body_to_cam(R1, P1)
+
+    def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:
+        if not self.vio_ready:
+            return False
+        # IMU dead-reckoning: adopt the propagated state
+        if hasattr(self, "_pred_body"):
+            P, V, R = self._pred_body
+            self._ns = (P.astype(np.float32), V.astype(np.float32),
+                        R.astype(np.float32))
+        self._has_prior = False
+        return True
+
+    # ------------------------------------------------------------- keyframes
+    def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
+                         tracked_lvl):
+        out = super()._create_keyframe(pyr, ts, R, t, tracked_ids,
+                                       tracked_uv, tracked_lvl)
+        kf = self._last_kf
+        prev_t = self.map.kf_ts[self._kf_order[-1]] if self._kf_order \
+            else (self._imu_since_kf[0][0] if self._imu_since_kf else ts)
+        self._kf_imu[kf] = _pack_window(self._imu_since_kf, prev_t,
+                                        KF_IMU_CAP)
+        self._kf_order.append(kf)
+        self._imu_since_kf = []
+        if not self.vio_ready:
+            self._try_vins_init()
+        return out
+
+    def _kf_preints(self, bg):
+        out = []
+        for kf in self._kf_order[1:]:
+            om, ac, dts, valid = self._kf_imu[kf]
+            out.append(preintegrate(
+                jnp.asarray(om), jnp.asarray(ac), jnp.asarray(dts),
+                jnp.asarray(valid), jnp.asarray(bg), jnp.zeros(3)))
+        return out
+
+    def _try_vins_init(self):
+        smap = self.map
+        kfs = self._kf_order
+        if len(kfs) < self.vins_init_kfs:
+            return
+        if smap.kf_ts[kfs[-1]] - smap.kf_ts[kfs[0]] < self.vins_init_time:
+            return
+        R_wc = [smap.kf_R[k].T for k in kfs]
+        c_w = np.stack([-smap.kf_R[k].T @ smap.kf_t[k] for k in kfs])
+        res = vins_initialize(
+            c_w, R_wc, self._kf_preints(np.zeros(3, np.float32)),
+            lambda bg: self._kf_preints(np.asarray(bg, np.float32)),
+            self.Tbc)
+        if not res.ok or res.scale <= 0.01:
+            return
+        # sanity: recovered gravity magnitude near g
+        if abs(np.linalg.norm(res.gravity_w) - self.gravity_mag) > 2.0:
+            return
+
+        s = res.scale
+        # rescale the whole map to metric (reference TryInitVIO :516-531)
+        smap.pt_xyz[: smap.n_pt] *= s
+        smap.kf_t[: smap.n_kf] *= s
+        smap.sync_ref_poses()
+        self._last_t = self._last_t * s
+        self._last_Xc = self._last_Xc * s
+        Rv, tv = self._vel
+        self._vel = (Rv, tv * s)
+        self.bg = res.bg
+        self.ba = res.ba
+        self.gravity_w = res.gravity_w.astype(np.float32)
+        self.vins_scale = s
+
+        # velocity at the last frame from scaled displacement
+        if len(self.trajectory) >= 2:
+            a = self.trajectory[-2]
+            b = self.trajectory[-1]
+            ca = -a.R.T @ (a.t * s)
+            cb = -b.R.T @ (b.t * s)
+            dt = max(b.ts - a.ts, 1e-3)
+            v = (cb - ca) / dt
+        else:
+            v = np.zeros(3, np.float32)
+        R_wb, P_wb = self._cam_to_body(self._last_R, self._last_t)
+        self._ns = (P_wb.astype(np.float32), v.astype(np.float32),
+                    R_wb.astype(np.float32))
+        self._has_prior = False
+        self.vio_ready = True

@@ -40,7 +40,8 @@ class System:
     """
 
     def __init__(self, cam: cam_mod.Camera, sensor: Sensor = Sensor.MONOCULAR,
-                 config: Optional[TrackerConfig] = None):
+                 config: Optional[TrackerConfig] = None, Tbc=None,
+                 **vi_kwargs):
         self.cam = cam
         self.sensor = sensor
         if sensor == Sensor.MONOCULAR:
@@ -49,6 +50,9 @@ class System:
             self.tracker = RgbdTracker(cam, config)
         elif sensor == Sensor.STEREO:
             self.tracker = StereoTracker(cam, config)
+        elif sensor == Sensor.MONO_VI:
+            from .frontend.vi_tracker import MonoViTracker
+            self.tracker = MonoViTracker(cam, config, Tbc=Tbc, **vi_kwargs)
         else:
             raise NotImplementedError(
                 f"{sensor} lands in a later round; MONOCULAR, STEREO and "
@@ -81,6 +85,16 @@ class System:
         """RGB-D entry point (reference System::TrackRGBD src/System.cc:295):
         `depth` is a metric [H,W] depth map aligned with `img`."""
         state, R, t = self.tracker.track(img, timestamp, depth=depth)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return state.name, T
+
+    def track_mono_vi(self, img, imu, timestamp: float):
+        """Mono-inertial entry point (reference System::TrackMonoVI
+        src/System.cc:86): `imu` is an iterable of (t, gyro[3], acc[3])
+        samples since the previous frame."""
+        state, R, t = self.tracker.track(img, timestamp, imu=imu)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
