@@ -1,0 +1,33 @@
+"""Mono-inertial EuRoC runner (reference Examples/Monocular/
+mono_euroc_vins.cc — image + IMU csv interleaving)."""
+from common import base_parser, load_system, TrackTimer, maybe_eval_ate
+
+
+def main():
+    args = base_parser("Mono-inertial EuRoC").parse_args()
+    from ygz_tpu.io.datasets import EurocDataset
+    from ygz_tpu.system import Sensor
+    from ygz_tpu.geometry.camera import Camera
+
+    ds = EurocDataset(args.dataset, with_imu=True)
+    default_cam = Camera.make(458.654, 457.296, 367.215, 248.375, 752, 480,
+                              dist=[-0.28340811, 0.07395907, 0.00019359,
+                                    1.76187114e-05])
+    sys_ = load_system(args, Sensor.MONO_VI, default_cam)
+    timer = TrackTimer()
+    for i, fr in enumerate(ds):
+        if args.max_frames and i >= args.max_frames:
+            break
+        imu = [(s.t, s.gyro, s.acc) for s in fr.imu]
+        with timer:
+            state, T = sys_.track_mono_vi(fr.load(), imu, fr.t)
+    timer.report()
+    print("VINS initialized:", sys_.tracker.vio_ready,
+          "scale:", sys_.tracker.vins_scale)
+    sys_.save_trajectory_tum(args.out)
+    print(f"trajectory -> {args.out}")
+    maybe_eval_ate(sys_, ds, args, with_scale=False)
+
+
+if __name__ == "__main__":
+    main()

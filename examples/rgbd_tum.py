@@ -1,0 +1,32 @@
+"""RGB-D TUM runner (reference Examples/RGB-D/rgbd_tum.cc)."""
+from common import base_parser, load_system, TrackTimer, maybe_eval_ate
+
+
+def main():
+    p = base_parser("RGB-D TUM")
+    p.add_argument("--depth-factor", type=float, default=5000.0)
+    args = p.parse_args()
+    from ygz_tpu.io.datasets import TumRgbdDataset
+    from ygz_tpu.system import Sensor
+    from ygz_tpu.geometry.camera import Camera
+
+    ds = TumRgbdDataset(args.dataset)
+    default_cam = Camera.make(517.306408, 516.469215, 318.643040, 255.313989,
+                              640, 480, dist=[0.262383, -0.953104, -0.005358,
+                                              0.002628, 1.163314])
+    sys_ = load_system(args, Sensor.RGBD, default_cam)
+    timer = TrackTimer()
+    for i, fr in enumerate(ds):
+        if args.max_frames and i >= args.max_frames:
+            break
+        with timer:
+            state, T = sys_.track_rgbd(fr.load(),
+                                       fr.load_depth(args.depth_factor), fr.t)
+    timer.report()
+    sys_.save_trajectory_tum(args.out)
+    print(f"trajectory -> {args.out}")
+    maybe_eval_ate(sys_, ds, args, with_scale=False)
+
+
+if __name__ == "__main__":
+    main()

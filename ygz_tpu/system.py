@@ -114,6 +114,17 @@ class System:
                 f.write(f"{rec.ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
                         f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
 
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: one 3x4 row-major [R|t] of T_wc per line
+        (reference System::SaveTrajectoryKITTI src/System.cc:544)."""
+        with open(path, "w") as f:
+            for rec in self.tracker.trajectory:
+                Rwc = rec.R.T
+                twc = -Rwc @ rec.t
+                vals = np.concatenate(
+                    [np.concatenate([Rwc[i], twc[i: i + 1]]) for i in range(3)])
+                f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
+
     def save_keyframe_trajectory_tum(self, path: str):
         smap = self.tracker.map
         with open(path, "w") as f:
