@@ -334,7 +334,98 @@ class LocalMapper:
                 smap.kf_feat_pt[k, slots] = -1
                 smap.pt_obs[pid] -= len(slots)
 
+    # ------------------------------------------------------------------ fuse
+    def bind_map_points(self, smap: SlamMap, kf: int, radius: float = 4.0):
+        """Project local-map points into the new KF and bind matches to its
+        unbound features (the observation-growing role of the reference's
+        SearchInNeighbors/Fuse, src/LocalMapping.cc:1228-1326). More
+        observations per point = stronger BA depth estimates."""
+        win = smap.local_window(kf, self.window + 4)
+        pts = smap.points_in_kfs([k for k in win if k != kf])
+        bound_here = smap.kf_feat_pt[kf]
+        pts = pts[~np.isin(pts, bound_here)]
+        if len(pts) == 0:
+            return 0
+        R = smap.kf_R[kf]
+        t = smap.kf_t[kf]
+        Xc = smap.pt_xyz[pts] @ R.T + t
+        z = Xc[:, 2]
+        front = z > 0.1
+        uv = np.stack([self.cam.fx * Xc[:, 0] / np.maximum(z, 1e-6)
+                       + self.cam.cx,
+                       self.cam.fy * Xc[:, 1] / np.maximum(z, 1e-6)
+                       + self.cam.cy], -1).astype(np.float32)
+        inb = (front & (uv[:, 0] > 10) & (uv[:, 0] < self.cam.width - 10)
+               & (uv[:, 1] > 10) & (uv[:, 1] < self.cam.height - 10))
+        pts = pts[inb]
+        uv = uv[inb]
+        if len(pts) == 0:
+            return 0
+        cap = 1024
+        n = min(len(pts), cap)
+        descA = np.zeros((cap, 256), np.uint8)
+        uvA = np.zeros((cap, 2), np.float32)
+        vA = np.zeros(cap, bool)
+        descA[:n] = smap.pt_desc[pts[:n]]
+        uvA[:n] = uv[:n]
+        vA[:n] = True
+        unbound = smap.kf_feat_valid[kf] & (smap.kf_feat_pt[kf] < 0)
+        idx, ok = matching.match_with_windows(
+            jnp.asarray(descA), jnp.asarray(vA),
+            jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(unbound),
+            uv_pred1=jnp.asarray(uvA),
+            uv2=jnp.asarray(smap.kf_feat_uv[kf]), radius=radius,
+            max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
+        idx = np.asarray(idx)[:n]
+        ok = np.asarray(ok)[:n]
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0:
+            return 0
+        smap.bind(kf, idx[rows], pts[rows])
+        return len(rows)
+
     # ---------------------------------------------------------------- culling
+    def cull_keyframes(self, smap: SlamMap, kf: int, min_id_gap: int = 3):
+        """Cull redundant covisible KFs: >=90% of a KF's points observed by
+        >=3 other keyframes (reference KeyFrameCulling,
+        src/LocalMapping.cc:1419-1500). The newest KFs and KF0 are kept."""
+        win = smap.local_window(kf, self.window + 4)
+        culled = 0
+        for k in win:
+            if k == kf or k == 0 or k >= smap.n_kf - min_id_gap:
+                continue
+            if not smap.kf_valid[k]:
+                continue
+            binds = smap.kf_feat_pt[k]
+            pids = binds[binds >= 0]
+            if len(pids) < 20:
+                continue
+            redundant = (smap.pt_obs[pids] >= 4).mean()
+            if redundant < 0.9:
+                continue
+            # re-home points whose direct-tracking reference this KF is
+            refugees = np.unique(pids[smap.pt_ref_kf[pids] == k])
+            slots = np.nonzero(binds >= 0)[0]
+            smap.kf_feat_pt[k, slots] = -1
+            np.add.at(smap.pt_obs, pids, -1)
+            smap.kf_valid[k] = False
+            smap.kf_pyr[k] = None
+            for newref in smap.local_window(kf, self.window + 4):
+                if not smap.kf_valid[newref] or len(refugees) == 0:
+                    continue
+                sel = np.isin(smap.kf_feat_pt[newref], refugees)
+                sl = np.nonzero(sel)[0]
+                if len(sl) and smap.kf_pyr[newref] is not None:
+                    ids = smap.kf_feat_pt[newref, sl]
+                    self.refresh_patches(smap, newref, smap.kf_pyr[newref],
+                                         ids, sl)
+                    refugees = refugees[~np.isin(refugees, ids)]
+            # orphaned refugees (no other observer with pyramid): kill them
+            if len(refugees):
+                smap.kill_points(refugees)
+            culled += 1
+        return culled
+
     def cull_points(self, smap: SlamMap, recent_window: int = 3):
         """Found-ratio + observation-count culling
         (reference MapPointCulling src/LocalMapping.cc:930-964)."""

@@ -509,8 +509,13 @@ class MonoTracker:
         for prev in partners:
             if cov[prev] > 0 or prev == self._last_kf:
                 self.mapper.create_new_points(smap, kf, int(prev), pyr)
+        # grow observations by binding local-map points to this KF's features
+        self.mapper.bind_map_points(smap, kf)
         self.mapper.local_ba(smap, kf)
         self.mapper.cull_points(smap)
+        n_culled = self.mapper.cull_keyframes(smap, kf)
+        if n_culled and self.bow_index is not None:
+            self.bow_index.kf_valid[: smap.n_kf] &= smap.kf_valid[: smap.n_kf]
 
         # refresh direct patches for ALL points bound to this KF with the
         # POST-BA geometry — stale capture geometry after BA was the main
