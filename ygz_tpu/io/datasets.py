@@ -16,12 +16,10 @@ import numpy as np
 
 
 def load_gray(path: str) -> np.ndarray:
-    from PIL import Image
+    """Native libpng decode when available (ygz_tpu/native), PIL fallback."""
+    from .. import native
 
-    img = Image.open(path)
-    if img.mode != "L":
-        img = img.convert("L")
-    return np.asarray(img, dtype=np.float32)
+    return native.decode_gray(path)
 
 
 @dataclass
