@@ -15,20 +15,22 @@ def test_relocalization_after_blackout():
     scene = SmoothScene(seed=11)
     cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                               scene.w, scene.h)
-    poses = make_trajectory(26)
+    poses = make_trajectory(36)
     sys = System(cam, Sensor.MONOCULAR)
 
     imgs = [scene.render(R, t) for (R, t) in poses]
     states = []
-    for i in range(20):
+    n_track = 30  # long enough that the map exceeds the reset-on-early-loss
+    for i in range(n_track):  # gate of 5 keyframes (src/Tracking.cc:703-711)
         state, T = sys.track_monocular(imgs[i], timestamp=i * 0.05)
         states.append(state)
     assert states[-1] == "OK", states
+    assert sys.map.n_kf > 5, sys.map.n_kf
 
     # blackout: tracking must be lost
     black = np.zeros_like(imgs[0])
     for j in range(3):
-        state, _ = sys.track_monocular(black, timestamp=(20 + j) * 0.05)
+        state, _ = sys.track_monocular(black, timestamp=(n_track + j) * 0.05)
     assert state == "LOST"
 
     # show a view close to an already-mapped pose: must relocalize
@@ -36,7 +38,7 @@ def test_relocalization_after_blackout():
     c_err = None
     for j, back_i in enumerate([12, 12, 12]):
         state, T = sys.track_monocular(imgs[back_i],
-                                       timestamp=(23 + j) * 0.05)
+                                       timestamp=(n_track + 3 + j) * 0.05)
         if state == "OK":
             recovered = True
             R_gt, t_gt = poses[back_i]

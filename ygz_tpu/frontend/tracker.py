@@ -120,6 +120,18 @@ class MonoTracker:
         self._last_kf_frame = -1
         self._kf_ref_tracked = 0
         self._rng = jax.random.PRNGKey(0)
+        # localization-only: track against the frozen map, no KFs/mapping
+        # (reference ActivateLocalizationMode, src/System.cc:97-125)
+        self.localization_only = False
+
+    def reset(self, keep_trajectory: bool = True):
+        """Clear map and tracking state (reference Tracking::Reset,
+        src/Tracking.cc:1980-2028)."""
+        traj = self.trajectory if keep_trajectory else []
+        fid = self.frame_id
+        self.__init__(self.cam, self.cfg)
+        self.trajectory = traj
+        self.frame_id = fid
 
     # ------------------------------------------------------------------ utils
     def _build_pyramid(self, img):
@@ -364,8 +376,15 @@ class MonoTracker:
                 # reference src/Tracking.cc:684-698)
                 self._set_last_frame(pyr, R_pred, t_pred, cache_uv=None)
                 return True, R_pred, t_pred
+            last_R = self._last_R
+            last_t = self._last_t
             self.state = State.LOST
-            return False, self._last_R, self._last_t
+            # reset-on-early-loss: a map of <=5 KFs is not worth relocalizing
+            # against (reference src/Tracking.cc:703-711)
+            if smap.n_kf <= 5 and not self.localization_only:
+                self.reset()
+                self.state = State.NOT_INITIALIZED
+            return False, last_R, last_t
 
         R_cur, t_cur = self._pose_np(dres.R, dres.t)
         # sensor-fusion hook (mono-VI: NavState optimization with the
@@ -392,7 +411,8 @@ class MonoTracker:
 
         # ---- keyframe decision -------------------------------------------
         gap = self.frame_id - self._last_kf_frame
-        need_kf = (gap >= cfg.kf_min_gap
+        need_kf = (not self.localization_only
+                   and gap >= cfg.kf_min_gap
                    and (n_inliers < cfg.kf_ratio * self._kf_ref_tracked
                         or gap >= cfg.kf_max_gap
                         or n_inliers < 50))

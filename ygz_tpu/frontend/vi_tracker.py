@@ -86,6 +86,16 @@ class MonoViTracker(MonoTracker):
         self._kf_imu = {}           # kf id -> packed window (since prev KF)
         self._kf_order = []
         self.vins_scale = None
+        self._init_kwargs = dict(Tbc=Tbc, gravity_mag=gravity_mag,
+                                 vins_init_kfs=vins_init_kfs,
+                                 vins_init_time=vins_init_time)
+
+    def reset(self, keep_trajectory: bool = True):
+        traj = self.trajectory if keep_trajectory else []
+        fid = self.frame_id
+        self.__init__(self.cam, self.cfg, **self._init_kwargs)
+        self.trajectory = traj
+        self.frame_id = fid
 
     # ------------------------------------------------------------------ entry
     def track(self, img, ts: float, imu=None, depth=None):

@@ -146,10 +146,17 @@ class System:
     def map(self):
         return self.tracker.map
 
+    def activate_localization_mode(self):
+        """Track against the frozen map, stop mapping (reference
+        System::ActivateLocalizationMode src/System.cc:97-125)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     def reset(self):
         """Clear map and tracking state (reference System::Reset)."""
-        cfg = self.tracker.cfg
-        self.tracker = MonoTracker(self.cam, cfg)
+        self.tracker.reset(keep_trajectory=False)
 
     def shutdown(self):
         pass  # no threads to join in the synchronous design
