@@ -16,7 +16,8 @@ def test_relocalization_after_blackout():
     cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                               scene.w, scene.h)
     poses = make_trajectory(36)
-    sys = System(cam, Sensor.MONOCULAR)
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    sys = System(cam, Sensor.MONOCULAR, config=TrackerConfig(kf_max_gap=4))
 
     imgs = [scene.render(R, t) for (R, t) in poses]
     states = []
