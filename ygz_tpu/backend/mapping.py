@@ -18,7 +18,6 @@ from .mapstate import SlamMap
 from .optim import local_bundle_adjustment, CHI2_MONO
 from ..geometry.triangulation import triangulate_dlt, triangulation_checks
 from ..ops import matching
-from ..frontend.direct_tracker import capture_ref_patches
 
 BA_P = 8       # local BA pose capacity
 BA_L = 2048    # landmark capacity
@@ -142,6 +141,7 @@ class LocalMapper:
             lvlA[:n] = smap.kf_feat_level[kf_new, slotsA]
             Xp[:n] = Xw[slotsA]
             vmask[:n] = True
+            from ..frontend.direct_tracker import capture_ref_patches
             patches = capture_ref_patches(
                 tuple(pyramid_new), jnp.asarray(uvA), jnp.asarray(lvlA),
                 n_levels=self.n_levels)
@@ -227,6 +227,7 @@ class LocalMapper:
             return
         uv = uv[ok]
         lvl = lvl[ok]
+        from ..frontend.direct_tracker import capture_ref_patches
         patches = np.asarray(capture_ref_patches(
             tuple(pyramid), jnp.asarray(uv), jnp.asarray(lvl),
             n_levels=self.n_levels))
@@ -333,6 +334,74 @@ class LocalMapper:
             if len(slots):
                 smap.kf_feat_pt[k, slots] = -1
                 smap.pt_obs[pid] -= len(slots)
+
+    # -------------------------------------------------------------- global BA
+    def global_ba(self, smap: SlamMap, phases=(10, 10), max_poses: int = 64):
+        """Full-map bundle adjustment (reference GlobalBundleAdjustemnt,
+        src/Optimizer.cc:1478; spawned after loop closure and during VINS
+        init). Capacities are bucketed so each problem size compiles once;
+        maps larger than the biggest bucket optimize the newest `max_poses`
+        keyframes against the rest held fixed."""
+        kfs = [k for k in range(smap.n_kf) if smap.kf_valid[k]]
+        if len(kfs) < 2:
+            return
+        free = kfs[-max_poses:] if len(kfs) > max_poses else kfs
+        # bucket sizes (power-of-two-ish) to bound recompilation
+        def bucket(n, opts):
+            for o in opts:
+                if n <= o:
+                    return o
+            return opts[-1]
+
+        P = bucket(len(kfs), [8, 16, 32, 64, 128])
+        pt_ids = smap.points_in_kfs(kfs)
+        L = bucket(len(pt_ids), [2048, 4096, 8192, 16384])
+        if len(pt_ids) > L:
+            pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[:L]]
+        o_kf, o_pt, o_uv, o_lvl = smap.observations(kfs[:P], pt_ids)
+        O = bucket(len(o_kf), [8192, 16384, 32768])
+        if len(o_kf) > O:
+            o_kf, o_pt, o_uv, o_lvl = (o_kf[:O], o_pt[:O], o_uv[:O],
+                                       o_lvl[:O])
+
+        kfR = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        kft = np.zeros((P, 3), np.float32)
+        fixed = np.ones(P, bool)
+        for i, k in enumerate(kfs[:P]):
+            kfR[i] = smap.kf_R[k]
+            kft[i] = smap.kf_t[k]
+            fixed[i] = k not in free
+        fixed[0] = True  # gauge anchor (reference fixes KF0)
+
+        pts = np.zeros((L, 3), np.float32)
+        ptv = np.zeros(L, bool)
+        pts[: len(pt_ids)] = smap.pt_xyz[pt_ids]
+        ptv[: len(pt_ids)] = True
+        obs_p = np.zeros(O, np.int32)
+        obs_l = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_is2 = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        n_o = len(o_kf)
+        obs_p[:n_o] = o_kf
+        obs_l[:n_o] = o_pt
+        obs_uv[:n_o] = o_uv
+        obs_is2[:n_o] = 0.25 ** o_lvl
+        obs_valid[:n_o] = True
+
+        res = local_bundle_adjustment(
+            jnp.asarray(kfR), jnp.asarray(kft), jnp.asarray(fixed),
+            jnp.asarray(pts), jnp.asarray(ptv),
+            jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
+            jnp.asarray(obs_is2), jnp.asarray(obs_valid),
+            self.intr, n_poses=P, n_points=L, phases=tuple(phases))
+        newR = np.asarray(res.kf_R)
+        newt = np.asarray(res.kf_t)
+        for i, k in enumerate(kfs[:P]):
+            if not fixed[i]:
+                smap.set_pose(k, newR[i], newt[i])
+        smap.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+        smap.sync_ref_poses()
 
     # ------------------------------------------------------------------ fuse
     def bind_map_points(self, smap: SlamMap, kf: int, radius: float = 4.0):

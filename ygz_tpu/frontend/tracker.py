@@ -556,6 +556,9 @@ class MonoTracker:
             if self.cfg.enable_loop_closing and self.loop_closer is not None:
                 if self.loop_closer.process_keyframe(smap, kf, bow):
                     self.n_loops_closed += 1
+                    # global BA after loop correction (the reference spawns
+                    # RunGlobalBundleAdjustment, src/LoopClosing.cc:538)
+                    self.mapper.global_ba(smap)
                     # poses moved globally: refresh patches + velocity reset
                     slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
                     self.mapper.refresh_patches(
