@@ -166,3 +166,185 @@ def vio_pose_optimization(cur, prev, pre: PreintState, bias_lin,
     P, V, R, bg, ba = state
     return VioPoseResult(P=P, V=V, R=R, bg=bg, ba=ba, inliers=inl,
                          n_inliers=jnp.sum(inl), marg_info=H)
+
+
+# ---------------------------------------------------------------------------
+# Visual-inertial window bundle adjustment
+# (reference Optimizer::LocalBundleAdjustmentNavState, Optimizer.cc:863-1279:
+#  IMU local window of keyframes with a fixed previous-KF anchor, preint
+#  edges along the chain, bias random-walk edges, reprojection edges, and
+#  landmark optimization.)
+
+
+class VioBAResult(NamedTuple):
+    P: jnp.ndarray     # [W,3]
+    V: jnp.ndarray     # [W,3]
+    R: jnp.ndarray     # [W,3,3]
+    bg: jnp.ndarray    # [W,3]
+    ba: jnp.ndarray    # [W,3]
+    points: jnp.ndarray
+    total_chi2: jnp.ndarray
+
+
+def _imu_pair_residual(di, dj, Pi, Vi, Ri, bgi, bai, Pj, Vj, Rj, bgj, baj,
+                       pre_dP, pre_dV, pre_dR, JPbg, JPba, JVbg, JVba, JRbg,
+                       cov, dt, bias_lin_g, bias_lin_a, gw):
+    """15-D stacked [preint(9, whitened), bias-RW(6, weighted)] residual for
+    a consecutive window pair, as a function of both 15-D increments."""
+    Pi, Vi, Ri, bgi, bai = _inc((Pi, Vi, Ri, bgi, bai), di)
+    Pj, Vj, Rj, bgj, baj = _inc((Pj, Vj, Rj, bgj, baj), dj)
+    dbg = bgi - bias_lin_g
+    dba = bai - bias_lin_a
+    dP = pre_dP + JPbg @ dbg + JPba @ dba
+    dV = pre_dV + JVbg @ dbg + JVba @ dba
+    dR = pre_dR @ so3_exp(JRbg @ dbg)
+    Rit = Ri.T
+    rP = Rit @ (Pj - Pi - Vi * dt - 0.5 * gw * dt * dt) - dP
+    rV = Rit @ (Vj - Vi - gw * dt) - dV
+    rR = so3_log_safe(dR.T @ (Rit @ Rj))
+    info = jnp.linalg.inv(cov + 1e-10 * jnp.eye(9))
+    L = jnp.linalg.cholesky(0.5 * (info + info.T))
+    r_imu = L.T @ jnp.concatenate([rP, rV, rR])
+    w_bias = jnp.sqrt(jnp.concatenate([
+        jnp.full(3, 1.0 / (GYR_BIAS_RW2 * jnp.maximum(dt, 1e-3))),
+        jnp.full(3, 1.0 / (ACC_BIAS_RW2 * jnp.maximum(dt, 1e-3)))]))
+    r_bias = w_bias * jnp.concatenate([bgj - bgi, baj - bai])
+    return jnp.concatenate([r_imu, r_bias])
+
+
+_imu_pair_rj = jax.vmap(
+    lambda *a: (
+        _imu_pair_residual(jnp.zeros(15), jnp.zeros(15), *a),
+        jax.jacfwd(_imu_pair_residual, argnums=0)(
+            jnp.zeros(15), jnp.zeros(15), *a),
+        jax.jacfwd(_imu_pair_residual, argnums=1)(
+            jnp.zeros(15), jnp.zeros(15), *a),
+    ))
+
+
+def _reproj_ns(d15, dl, P, R, X, uv, Rcb, tcb, fx, fy, cx, cy):
+    """Reprojection residual through the body pose, as a function of the
+    pose increment (only P/phi columns are non-zero) and the landmark inc."""
+    Pn = P + d15[0:3]
+    Rn = R @ so3_exp(d15[6:9])
+    Xb = Rn.T @ (X + dl - Pn)
+    Xc = Rcb @ Xb + tcb
+    zi = 1.0 / jnp.maximum(Xc[2], 1e-6)
+    return jnp.stack([fx * Xc[0] * zi + cx - uv[0],
+                      fy * Xc[1] * zi + cy - uv[1]])
+
+
+_reproj_ns_rj = jax.vmap(
+    lambda P, R, X, uv, Rcb, tcb, fx, fy, cx, cy: (
+        _reproj_ns(jnp.zeros(15), jnp.zeros(3), P, R, X, uv, Rcb, tcb,
+                   fx, fy, cx, cy),
+        jax.jacfwd(_reproj_ns, argnums=0)(
+            jnp.zeros(15), jnp.zeros(3), P, R, X, uv, Rcb, tcb,
+            fx, fy, cx, cy),
+        jax.jacfwd(_reproj_ns, argnums=1)(
+            jnp.zeros(15), jnp.zeros(3), P, R, X, uv, Rcb, tcb,
+            fx, fy, cx, cy),
+    ), in_axes=(0, 0, 0, 0, None, None, None, None, None, None))
+
+
+@functools.partial(jax.jit, static_argnames=("n_win", "n_points", "iters"))
+def vio_window_ba(P, V, R, bg, ba, fixed,
+                  pre_fields, bias_lin_g, bias_lin_a,
+                  points, pt_valid, obs_k, obs_l, obs_uv, obs_w,
+                  Rcb, tcb, intr, gw,
+                  n_win: int, n_points: int, iters: int = 8,
+                  link_w=None):
+    """Joint NavState-window + landmark GN with Schur elimination.
+
+    P/V/R/bg/ba: [W,...] window NavStates (chain order); fixed [W] bool.
+    pre_fields: tuple of stacked PreintState fields for the W-1 chain links
+      (dP, dV, dR, JPbg, JPba, JVbg, JVba, JRbg, cov, dt), each [W-1, ...].
+    points [L,3]; obs_*: [O] reprojection table (window idx, point idx, uv,
+    weight 0=padding). link_w: optional [W-1] chain-link mask (0 = padding).
+    """
+    fx, fy, cx, cy = intr
+    W, L = n_win, n_points
+    O = obs_k.shape[0]
+    (pdP, pdV, pdR, pJPbg, pJPba, pJVbg, pJVba, pJRbg, pcov, pdt) = pre_fields
+    free = (~fixed).astype(jnp.float32)
+    delta2 = CHI2_MONO
+
+    def body(state, _):
+        P, V, R, bg, ba, points = state
+        # --- IMU chain factors (W-1 pairs) ---
+        ii = jnp.arange(W - 1)
+        jj = ii + 1
+        r_imu, Ji, Jj = _imu_pair_rj(
+            P[ii], V[ii], R[ii], bg[ii], ba[ii],
+            P[jj], V[jj], R[jj], bg[jj], ba[jj],
+            pdP, pdV, pdR, pJPbg, pJPba, pJVbg, pJVba, pJRbg, pcov, pdt,
+            jnp.broadcast_to(bias_lin_g, (W - 1, 3)),
+            jnp.broadcast_to(bias_lin_a, (W - 1, 3)),
+            jnp.broadcast_to(gw, (W - 1, 3)))
+        if link_w is not None:
+            r_imu = r_imu * link_w[:, None]
+            Ji = Ji * link_w[:, None, None]
+            Jj = Jj * link_w[:, None, None]
+        # --- reprojection factors ---
+        r_uv, A, B = _reproj_ns_rj(P[obs_k], R[obs_k], points[obs_l], obs_uv,
+                                   Rcb, tcb, fx, fy, cx, cy)
+        c2 = jnp.sum(r_uv * r_uv, axis=1) * obs_w
+        w = obs_w * _huber_weight(c2, delta2)
+
+        # normal equations: pose system [W,15] + landmarks [L,3]
+        Aw = A * w[:, None, None]
+        Bw = B * w[:, None, None]
+        U = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Aw, A), obs_k, W)
+        Vl = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Bw, B), obs_l, L)
+        Wb = jnp.einsum("nai,naj->nij", Aw, B)
+        bp = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Aw, r_uv), obs_k, W)
+        bl = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Bw, r_uv), obs_l, L)
+        M = jax.ops.segment_sum(Wb, obs_l * W + obs_k, L * W).reshape(L, W, 15, 3)
+
+        lam = 1e-4
+        Vl = Vl + lam * jnp.eye(3)[None]
+        Vinv = jnp.linalg.inv(Vl)
+        T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
+        S = -jnp.einsum("lpim,lqjm->piqj", T_, M)
+        diag = jnp.arange(W)
+        S = S.at[diag, :, diag, :].add(U + lam * jnp.eye(15)[None])
+        g = bp - jnp.einsum("lpim,lm->pi", T_, bl)
+
+        # add the IMU chain blocks into the pose system
+        Hii = jnp.einsum("eai,eaj->eij", Ji, Ji)
+        Hjj = jnp.einsum("eai,eaj->eij", Jj, Jj)
+        Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
+        gi = -jnp.einsum("eai,ea->ei", Ji, r_imu)
+        gj = -jnp.einsum("eai,ea->ei", Jj, r_imu)
+        flat = jnp.zeros((W * W, 15, 15))
+        flat = flat.at[ii * W + ii].add(Hii)
+        flat = flat.at[jj * W + jj].add(Hjj)
+        flat = flat.at[ii * W + jj].add(Hij)
+        flat = flat.at[jj * W + ii].add(Hij.transpose(0, 2, 1))
+        S = S + flat.reshape(W, W, 15, 15).transpose(0, 2, 1, 3)
+        g = g.at[ii].add(gi).at[jj].add(gj)
+
+        # gauge / fixed states
+        fm = free[:, None]
+        S = S * fm[:, :, None, None] * fm[None, None, :, :]
+        S = S.at[diag, :, diag, :].add(
+            (1.0 - free)[:, None, None] * jnp.eye(15)[None])
+        g = g * fm
+
+        dp = solve_preconditioned(S.reshape(W * 15, W * 15),
+                                  g.reshape(W * 15)).reshape(W, 15) * fm
+        rhs = bl - jnp.einsum("lpim,pi->lm", M, dp)
+        dl = jnp.einsum("lij,lj->li", Vinv, rhs) * pt_valid[:, None]
+
+        news = jax.vmap(lambda st, d: _inc(st, d), in_axes=((0, 0, 0, 0, 0),
+                                                            0))(
+            (P, V, R, bg, ba), dp)
+        P2, V2, R2, bg2, ba2 = news
+        chi2 = jnp.sum(c2 * (w > 0)) + jnp.sum(r_imu * r_imu)
+        return (P2, V2, R2, bg2, ba2, points + dl), chi2
+
+    state = (P, V, R, bg, ba, points)
+    state, chis = jax.lax.scan(body, state, None, length=iters)
+    P, V, R, bg, ba, points = state
+    return VioBAResult(P=P, V=V, R=R, bg=bg, ba=ba, points=points,
+                       total_chi2=chis[-1])

@@ -531,7 +531,7 @@ class MonoTracker:
                 self.mapper.create_new_points(smap, kf, int(prev), pyr)
         # grow observations by binding local-map points to this KF's features
         self.mapper.bind_map_points(smap, kf)
-        self.mapper.local_ba(smap, kf)
+        self._run_local_ba(smap, kf)
         self.mapper.cull_points(smap)
         n_culled = self.mapper.cull_keyframes(smap, kf)
         if n_culled and self.bow_index is not None:
@@ -569,6 +569,11 @@ class MonoTracker:
         self._rebuild_cache()
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+
+    def _run_local_ba(self, smap, kf):
+        """Local BA dispatch; the mono-VI tracker swaps in the NavState
+        window BA once VINS-initialized."""
+        self.mapper.local_ba(smap, kf)
 
     # ------------------------------------------------------------ vio hooks
     def _predict_pose(self):

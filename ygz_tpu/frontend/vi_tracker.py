@@ -299,3 +299,116 @@ class MonoViTracker(MonoTracker):
                     R_wb.astype(np.float32))
         self._has_prior = False
         self.vio_ready = True
+
+    # ------------------------------------------------------- VI window BA
+    W_CAP = 10   # reference LocalMapping.LocalWindowSize default
+    BA_L = 2048
+    BA_O = 4096
+
+    def _run_local_ba(self, smap, kf):
+        if not self.vio_ready:
+            return super()._run_local_ba(smap, kf)
+        from ..backend.vio_optim import vio_window_ba
+
+        # record this KF's NavState (current fused body state)
+        if self._ns is not None:
+            P, V, R = self._ns
+            self._kf_ns = getattr(self, "_kf_ns", {})
+            self._kf_ns[kf] = (P.copy(), V.copy(), R.copy())
+        chain = [k for k in self._kf_order
+                 if k in getattr(self, "_kf_ns", {})
+                 and smap.kf_valid[k]][-self.W_CAP:]
+        if len(chain) < 3:
+            return super()._run_local_ba(smap, kf)
+
+        W = self.W_CAP
+        n = len(chain)
+        Pw = np.zeros((W, 3), np.float32)
+        Vw = np.zeros((W, 3), np.float32)
+        Rw = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+        for i, k in enumerate(chain):
+            P, V, R = self._kf_ns[k]
+            Pw[i], Vw[i], Rw[i] = P, V, R
+        # pad by replicating the last state (links masked out)
+        for i in range(n, W):
+            Pw[i], Vw[i], Rw[i] = Pw[n - 1], Vw[n - 1], Rw[n - 1]
+        bgw = np.tile(self.bg, (W, 1)).astype(np.float32)
+        baw = np.tile(self.ba, (W, 1)).astype(np.float32)
+        fixed = np.zeros(W, bool)
+        fixed[0] = True          # oldest window KF anchors the gauge
+        fixed[n:] = True
+        link_w = np.array([1.0] * (n - 1) + [0.0] * (W - n), np.float32)
+
+        # chain preintegrations at the current gyro bias
+        fields = [[] for _ in range(10)]
+        for k in chain[1:]:
+            om, ac, dts, valid = self._kf_imu[k]
+            pre = preintegrate(jnp.asarray(om), jnp.asarray(ac),
+                               jnp.asarray(dts), jnp.asarray(valid),
+                               jnp.asarray(self.bg), jnp.asarray(self.ba))
+            for i, f in enumerate([pre.dP, pre.dV, pre.dR, pre.J_P_bg,
+                                   pre.J_P_ba, pre.J_V_bg, pre.J_V_ba,
+                                   pre.J_R_bg, pre.cov, pre.dt]):
+                fields[i].append(np.asarray(f))
+        # pad links
+        from ..imu.preintegration import PreintState
+        z = PreintState.zero()
+        for _ in range(n - 1, W - 1):
+            for i, f in enumerate([z.dP, z.dV, z.dR, z.J_P_bg, z.J_P_ba,
+                                   z.J_V_bg, z.J_V_ba, z.J_R_bg,
+                                   np.eye(9, dtype=np.float32), z.dt]):
+                fields[i].append(np.asarray(f))
+        pre_fields = tuple(jnp.asarray(np.stack(f)) for f in fields)
+
+        pt_ids = smap.points_in_kfs(chain)
+        if len(pt_ids) == 0:
+            return
+        if len(pt_ids) > self.BA_L:
+            pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[: self.BA_L]]
+        o_kf, o_pt, o_uv, o_lvl = smap.observations(chain, pt_ids)
+        if len(o_kf) > self.BA_O:
+            o_kf, o_pt, o_uv, o_lvl = (o_kf[: self.BA_O], o_pt[: self.BA_O],
+                                       o_uv[: self.BA_O], o_lvl[: self.BA_O])
+        L, O = self.BA_L, self.BA_O
+        pts = np.zeros((L, 3), np.float32)
+        ptv = np.zeros(L, bool)
+        pts[: len(pt_ids)] = smap.pt_xyz[pt_ids]
+        ptv[: len(pt_ids)] = True
+        obs_k = np.zeros(O, np.int32)
+        obs_l = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_w = np.zeros(O, np.float32)
+        n_o = len(o_kf)
+        obs_k[:n_o] = o_kf
+        obs_l[:n_o] = o_pt
+        obs_uv[:n_o] = o_uv
+        obs_w[:n_o] = 0.25 ** o_lvl
+
+        res = vio_window_ba(
+            jnp.asarray(Pw), jnp.asarray(Vw), jnp.asarray(Rw),
+            jnp.asarray(bgw), jnp.asarray(baw), jnp.asarray(fixed),
+            pre_fields, jnp.asarray(self.bg), jnp.asarray(self.ba),
+            jnp.asarray(pts), jnp.asarray(ptv),
+            jnp.asarray(obs_k), jnp.asarray(obs_l), jnp.asarray(obs_uv),
+            jnp.asarray(obs_w),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
+            jnp.asarray(self.gravity_w),
+            n_win=W, n_points=L, iters=8,
+            link_w=jnp.asarray(link_w))
+
+        newP = np.asarray(res.P)
+        newV = np.asarray(res.V)
+        newR = np.asarray(res.R)
+        for i, k in enumerate(chain):
+            if fixed[i]:
+                continue
+            self._kf_ns[k] = (newP[i].astype(np.float32),
+                              newV[i].astype(np.float32),
+                              newR[i].astype(np.float32))
+            R_cw, t_cw = self._body_to_cam(newR[i], newP[i])
+            smap.set_pose(k, R_cw, t_cw)
+        smap.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+        smap.sync_ref_poses()
+        # keep the live frame NavState in sync with its (current) keyframe
+        if chain[-1] == kf and not fixed[n - 1]:
+            self._ns = self._kf_ns[kf]
