@@ -14,6 +14,8 @@ Per-frame device work: build pyramid; sparse_image_align; track_local_map
 from __future__ import annotations
 
 import enum
+import queue
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -61,6 +63,11 @@ class TrackerConfig:
     enable_relocalization: bool = True
     vocab_branching: int = 8
     vocab_depth: int = 3
+    # run the mapping tail (triangulation, fusion, BA, culling, loop
+    # closing) on a background thread — the async counterpart of the
+    # reference's LocalMapping thread. Tracking then returns the pre-BA
+    # frame pose; BA corrections land through the shared map under a lock.
+    async_mapping: bool = False
 
 
 @dataclass
@@ -123,6 +130,40 @@ class MonoTracker:
         # localization-only: track against the frozen map, no KFs/mapping
         # (reference ActivateLocalizationMode, src/System.cc:97-125)
         self.localization_only = False
+
+        # async mapping pipeline (reference: LocalMapping thread,
+        # src/System.cc:221-222). The map lock replaces the reference's
+        # Map::mMutexMapUpdate but is held only for array reads/commits,
+        # never across device computation.
+        self._map_lock = threading.RLock()
+        self._map_queue: queue.Queue = queue.Queue()
+        self._map_worker = None
+        self._map_worker_error = None
+        if self.cfg.async_mapping:
+            self._map_worker = threading.Thread(
+                target=self._mapping_worker, daemon=True)
+            self._map_worker.start()
+
+    def _mapping_worker(self):
+        while True:
+            job = self._map_queue.get()
+            if job is None:
+                self._map_queue.task_done()
+                return
+            try:
+                job()
+            except Exception as e:  # surfaced via wait_mapping_idle
+                self._map_worker_error = e
+            finally:
+                self._map_queue.task_done()
+
+    def wait_mapping_idle(self):
+        """Block until the background mapping queue drains."""
+        self._map_queue.join()
+        if self._map_worker_error is not None:
+            err = self._map_worker_error
+            self._map_worker_error = None
+            raise err
 
     def reset(self, keep_trajectory: bool = True):
         """Clear map and tracking state (reference Tracking::Reset,
@@ -334,26 +375,34 @@ class MonoTracker:
                 t_pred = R_cl @ self._last_t + t_cl
 
         # ---- direct local-map tracking ------------------------------------
-        if len(self._cache) < cfg.cache_refill_below:
-            self._rebuild_cache()
-        ids = self._cache
-        n = len(ids)
-        cap = cfg.max_track
-        pad = cap - n
-        g = lambda a: np.concatenate([a[ids], np.zeros((pad,) + a.shape[1:],
-                                                       a.dtype)]) \
-            if pad > 0 else a[ids][:cap]
-        pvalid = np.concatenate([smap.pt_valid[ids],
-                                 np.zeros(pad, bool)]) if pad > 0 \
-            else smap.pt_valid[ids][:cap]
+        # the gather holds the map lock so the async mapper never commits a
+        # half-written map state under us (SURVEY §5: snapshot/commit
+        # replaces the reference's Map::mMutexMapUpdate)
+        with self._map_lock:
+            if len(self._cache) < cfg.cache_refill_below:
+                self._rebuild_cache()
+            ids = self._cache
+            n = len(ids)
+            cap = cfg.max_track
+            pad = cap - n
+            g = lambda a: np.concatenate(
+                [a[ids], np.zeros((pad,) + a.shape[1:], a.dtype)]) \
+                if pad > 0 else a[ids][:cap]
+            pvalid = np.concatenate([smap.pt_valid[ids],
+                                     np.zeros(pad, bool)]) if pad > 0 \
+                else smap.pt_valid[ids][:cap]
+            gathered = (g(smap.pt_xyz), g(smap.pt_patch), g(smap.pt_ref_uv),
+                        g(smap.pt_ref_level), g(smap.pt_ref_R),
+                        g(smap.pt_ref_t))
 
+        g_xyz, g_patch, g_ruv, g_rlvl, g_rR, g_rt = gathered
         dres = track_local_map_direct(
             pyr, jnp.asarray(R_pred.astype(np.float32)),
             jnp.asarray(t_pred.astype(np.float32)),
-            jnp.asarray(g(smap.pt_xyz)), jnp.asarray(pvalid),
-            jnp.asarray(g(smap.pt_patch)), jnp.asarray(g(smap.pt_ref_uv)),
-            jnp.asarray(g(smap.pt_ref_level)), jnp.asarray(g(smap.pt_ref_R)),
-            jnp.asarray(g(smap.pt_ref_t)), self.intr,
+            jnp.asarray(g_xyz), jnp.asarray(pvalid),
+            jnp.asarray(g_patch), jnp.asarray(g_ruv),
+            jnp.asarray(g_rlvl), jnp.asarray(g_rR),
+            jnp.asarray(g_rt), self.intr,
             n_levels=cfg.n_levels)
 
         n_inliers = int(dres.n_inliers)
@@ -523,52 +572,66 @@ class MonoTracker:
         # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
         if self._depth_source_available():
             self._create_depth_points(smap, kf, pyr)
-        # triangulate new points against recent covisible keyframes
-        cov = smap.covisibility(kf)
-        partners = list(np.argsort(-cov)[:3])
-        for prev in partners:
-            if cov[prev] > 0 or prev == self._last_kf:
-                self.mapper.create_new_points(smap, kf, int(prev), pyr)
-        # grow observations by binding local-map points to this KF's features
-        self.mapper.bind_map_points(smap, kf)
-        self._run_local_ba(smap, kf)
-        self.mapper.cull_points(smap)
-        n_culled = self.mapper.cull_keyframes(smap, kf)
-        if n_culled and self.bow_index is not None:
-            self.bow_index.kf_valid[: smap.n_kf] &= smap.kf_valid[: smap.n_kf]
-
-        # refresh direct patches for ALL points bound to this KF with the
-        # POST-BA geometry — stale capture geometry after BA was the main
-        # divergence mode of the first implementation
-        slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
-        ids = smap.kf_feat_pt[kf, slots]
-        self.mapper.refresh_patches(smap, kf, pyr, ids, slots)
-
         self._last_kf = kf
         self._last_kf_frame = self.frame_id
         self._kf_ref_tracked = int((smap.kf_feat_pt[kf] >= 0).sum())
 
-        # place recognition: index this KF, attempt loop closure
-        if self.bow_index is not None:
-            _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf],
-                                             smap.kf_feat_valid[kf])
-            self.bow_index.add_keyframe(kf, bow)
-            if self.cfg.enable_loop_closing and self.loop_closer is not None:
-                if self.loop_closer.process_keyframe(smap, kf, bow):
-                    self.n_loops_closed += 1
-                    # global BA after loop correction (the reference spawns
-                    # RunGlobalBundleAdjustment, src/LoopClosing.cc:538)
-                    self.mapper.global_ba(smap)
-                    # poses moved globally: refresh patches + velocity reset
-                    slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
-                    self.mapper.refresh_patches(
-                        smap, kf, pyr, smap.kf_feat_pt[kf, slots], slots)
-                    self._vel = (np.eye(3, dtype=np.float32),
-                                 np.zeros(3, np.float32))
-
-        self._rebuild_cache()
+        if self.cfg.async_mapping and self._map_worker is not None:
+            self._map_queue.put(lambda: self._mapping_tail(kf, pyr))
+            # tracking keeps the pre-BA pose; corrections land via the map
+            return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+        self._mapping_tail(kf, pyr)
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
+
+    def _mapping_tail(self, kf, pyr):
+        """The LocalMapping duties for one keyframe (triangulate, fuse, BA,
+        cull, place recognition, loop closing). Runs synchronously or on the
+        mapping worker thread; map mutations hold the map lock."""
+        smap = self.map
+        with self._map_lock:
+            # triangulate new points against recent covisible keyframes
+            cov = smap.covisibility(kf)
+            partners = list(np.argsort(-cov)[:3])
+            for prev in partners:
+                if cov[prev] > 0 or prev == self._last_kf:
+                    self.mapper.create_new_points(smap, kf, int(prev), pyr)
+            # grow observations by binding local-map points to this KF
+            self.mapper.bind_map_points(smap, kf)
+            self._run_local_ba(smap, kf)
+            self.mapper.cull_points(smap)
+            n_culled = self.mapper.cull_keyframes(smap, kf)
+            if n_culled and self.bow_index is not None:
+                self.bow_index.kf_valid[: smap.n_kf] &= \
+                    smap.kf_valid[: smap.n_kf]
+
+            # refresh direct patches for ALL points bound to this KF with
+            # the POST-BA geometry — stale capture geometry after BA was the
+            # main divergence mode of the first implementation
+            slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
+            ids = smap.kf_feat_pt[kf, slots]
+            self.mapper.refresh_patches(smap, kf, pyr, ids, slots)
+
+            # place recognition: index this KF, attempt loop closure
+            if self.bow_index is not None:
+                _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf],
+                                                 smap.kf_feat_valid[kf])
+                self.bow_index.add_keyframe(kf, bow)
+                if (self.cfg.enable_loop_closing
+                        and self.loop_closer is not None):
+                    if self.loop_closer.process_keyframe(smap, kf, bow):
+                        self.n_loops_closed += 1
+                        # global BA after loop correction (the reference
+                        # spawns RunGlobalBundleAdjustment,
+                        # src/LoopClosing.cc:538)
+                        self.mapper.global_ba(smap)
+                        slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
+                        self.mapper.refresh_patches(
+                            smap, kf, pyr, smap.kf_feat_pt[kf, slots], slots)
+                        self._vel = (np.eye(3, dtype=np.float32),
+                                     np.zeros(3, np.float32))
+
+            self._rebuild_cache()
 
     def _run_local_ba(self, smap, kf):
         """Local BA dispatch; the mono-VI tracker swaps in the NavState

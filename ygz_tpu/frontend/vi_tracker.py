@@ -70,6 +70,12 @@ class MonoViTracker(MonoTracker):
         self.vins_init_kfs = vins_init_kfs
         self.vins_init_time = vins_init_time
 
+        # async mapping is not yet supported with the IMU chain (the KF IMU
+        # window must be recorded before the worker runs the window BA)
+        if self.cfg.async_mapping:
+            self.cfg.async_mapping = False
+            self._map_worker = None
+
         self.vio_ready = False
         self.gravity_w: Optional[np.ndarray] = None
         self.bg = np.zeros(3, np.float32)
