@@ -19,7 +19,25 @@ def base_parser(desc):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--eval-ate", action="store_true",
                    help="evaluate ATE against dataset ground truth")
+    p.add_argument("--viz", default=None, metavar="DIR",
+                   help="dump frame overlays + final map render to DIR "
+                        "(the reference's Pangolin viewer, offline)")
     return p
+
+
+def make_viewer(args):
+    """DumpViewer when --viz is given, else a no-op."""
+    if args.viz:
+        from ygz_tpu.viz import DumpViewer
+        return DumpViewer(args.viz)
+
+    class _Null:
+        def update(self, *a):
+            pass
+
+        def finish(self, *a):
+            pass
+    return _Null()
 
 
 def load_system(args, sensor, default_cam=None, **kw):

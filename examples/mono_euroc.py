@@ -1,5 +1,6 @@
 """Monocular EuRoC runner (reference Examples/Monocular/mono_euroc.cc)."""
-from common import base_parser, load_system, TrackTimer, maybe_eval_ate
+from common import (base_parser, load_system, TrackTimer, maybe_eval_ate,
+                    make_viewer)
 
 
 def main():
@@ -14,12 +15,16 @@ def main():
                                     1.76187114e-05])
     sys_ = load_system(args, Sensor.MONOCULAR, default_cam)
     timer = TrackTimer()
+    viewer = make_viewer(args)
     for i, fr in enumerate(ds):
         if args.max_frames and i >= args.max_frames:
             break
+        img = fr.load()
         with timer:
-            state, T = sys_.track_monocular(fr.load(), fr.t)
+            state, T = sys_.track_monocular(img, fr.t)
+        viewer.update(sys_.tracker, img)
     timer.report()
+    viewer.finish(sys_.tracker)
     sys_.save_trajectory_tum(args.out)
     print(f"trajectory -> {args.out}")
     maybe_eval_ate(sys_, ds, args, with_scale=True)

@@ -15,12 +15,16 @@ def main():
     default_cam = Camera.make(718.856, 718.856, 607.1928, 185.2157, 1241, 376)
     sys_ = load_system(args, Sensor.MONOCULAR, default_cam)
     timer = TrackTimer()
+    viewer = make_viewer(args)
     for i, fr in enumerate(ds):
         if args.max_frames and i >= args.max_frames:
             break
+        img = fr.load()
         with timer:
-            state, T = sys_.track_monocular(fr.load(), fr.t)
+            state, T = sys_.track_monocular(img, fr.t)
+        viewer.update(sys_.tracker, img)
     timer.report()
+    viewer.finish(sys_.tracker)
     sys_.save_trajectory_kitti(args.out)
     print(f"trajectory -> {args.out}")
 

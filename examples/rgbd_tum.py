@@ -1,5 +1,6 @@
 """RGB-D TUM runner (reference Examples/RGB-D/rgbd_tum.cc)."""
-from common import base_parser, load_system, TrackTimer, maybe_eval_ate
+from common import (base_parser, load_system, TrackTimer, maybe_eval_ate,
+                    make_viewer)
 
 
 def main():
@@ -16,13 +17,17 @@ def main():
                                               0.002628, 1.163314])
     sys_ = load_system(args, Sensor.RGBD, default_cam)
     timer = TrackTimer()
+    viewer = make_viewer(args)
     for i, fr in enumerate(ds):
         if args.max_frames and i >= args.max_frames:
             break
+        img = fr.load()
         with timer:
-            state, T = sys_.track_rgbd(fr.load(),
+            state, T = sys_.track_rgbd(img,
                                        fr.load_depth(args.depth_factor), fr.t)
+        viewer.update(sys_.tracker, img)
     timer.report()
+    viewer.finish(sys_.tracker)
     sys_.save_trajectory_tum(args.out)
     print(f"trajectory -> {args.out}")
     maybe_eval_ate(sys_, ds, args, with_scale=False)

@@ -96,3 +96,45 @@ class TestPnP:
                          jnp.ones(N, bool), INTR, jax.random.PRNGKey(0),
                          min_inliers=15)
         assert not bool(res.ok)
+
+
+def test_distinctive_descriptors_min_median():
+    """The representative descriptor minimizes the median Hamming distance
+    to the point's other observations (MapPoint::ComputeDistinctiveDescriptors
+    semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ygz_tpu.ops import matching
+
+    rng = np.random.default_rng(5)
+    N, B = 7, 6
+    stack = rng.integers(0, 2, (N, B, 256)).astype(np.uint8)
+    valid = np.ones((N, B), bool)
+    valid[0, 4:] = False   # point with fewer observations
+    valid[1, 1:] = False   # single observation
+    # point 2: observations 0..4 near-identical, 5 an outlier -> best must
+    # be one of the cluster, never the outlier
+    base = rng.integers(0, 2, 256).astype(np.uint8)
+    for j in range(5):
+        d = base.copy()
+        flip = rng.choice(256, 4, replace=False)
+        d[flip] ^= 1
+        stack[2, j] = d
+    stack[2, 5] = 1 - base
+
+    best, desc = matching.distinctive_descriptors(
+        jnp.asarray(stack), jnp.asarray(valid))
+    best = np.asarray(best)
+    desc = np.asarray(desc)
+
+    # brute-force check
+    for i in range(N):
+        v = np.nonzero(valid[i])[0]
+        meds = []
+        for a in v:
+            dists = sorted(int((stack[i, a] ^ stack[i, b]).sum()) for b in v)
+            meds.append(dists[(len(v) - 1) // 2])
+        exp = v[int(np.argmin(meds))]
+        assert best[i] == exp, (i, best[i], exp, meds)
+        np.testing.assert_array_equal(desc[i], stack[i, best[i]])
+    assert best[2] != 5  # outlier never representative

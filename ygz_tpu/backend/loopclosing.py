@@ -111,7 +111,96 @@ class LoopCloser:
             num_iters=300, th_b=0.05)
         if int(ni) < self.min_matches:
             return None
-        return np.asarray(R), np.asarray(t), float(s), int(ni)
+        R, t, s = np.asarray(R), np.asarray(t), float(s)
+
+        # SearchBySim3 (reference src/ORBmatcher.cc:1006): project the
+        # loop-side local-map points through the estimated S into kf's image
+        # and re-match with window-gated descriptors — the RANSAC Sim3 guides
+        # a much wider correspondence set than the raw BoW matches.
+        Xc2, Xk2 = self._guided_matches(smap, kf, cand, (R, t, s))
+        inl_np = np.asarray(inl)[:n]
+        Xc_all = np.concatenate([Xc[:n][inl_np], Xc2])
+        Xk_all = np.concatenate([Xk[:n][inl_np], Xk2])
+        n_total = len(Xc_all)
+        # reference final acceptance: >=40 matches after Sim3-guided
+        # projection (src/LoopClosing.cc:355)
+        if n_total < 2 * self.min_matches:
+            return None
+
+        # inlier-iterated Horn refinement on the expanded set (the role of
+        # OptimizeSim3's drop-chi2-then-reoptimize loop, Optimizer.cc:2409ff)
+        R, t, s, ni = self._refine_sim3(Xc_all, Xk_all, (R, t, s))
+        if ni < 2 * self.min_matches:
+            return None
+        return R, t, s, ni
+
+    def _guided_matches(self, smap: SlamMap, kf: int, cand: int, S_ck,
+                        radius: float = 8.0, cap: int = 1024):
+        """Sim3-guided 3D-3D correspondences: cand-side local-map points
+        projected through S_ck into kf's image, window-gated descriptor match
+        against kf's BOUND features. Returns (Xc [M,3], Xk [M,3]) in the two
+        cameras' frames."""
+        win = smap.local_window(cand, 8)
+        pts_c = smap.points_in_kfs(win)
+        if len(pts_c) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+        R, t, s = S_ck
+        Xc = smap.pt_xyz[pts_c] @ smap.kf_R[cand].T + smap.kf_t[cand]
+        Xk_pred = s * (Xc @ R.T) + t
+        z = Xk_pred[:, 2]
+        uv = np.stack([self.cam.fx * Xk_pred[:, 0] / np.maximum(z, 1e-6)
+                       + self.cam.cx,
+                       self.cam.fy * Xk_pred[:, 1] / np.maximum(z, 1e-6)
+                       + self.cam.cy], -1).astype(np.float32)
+        inb = ((z > 0.05) & (uv[:, 0] > 0) & (uv[:, 0] < self.cam.width)
+               & (uv[:, 1] > 0) & (uv[:, 1] < self.cam.height))
+        pts_c, Xc, uv = pts_c[inb], Xc[inb], uv[inb]
+        if len(pts_c) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+        m = min(len(pts_c), cap)
+        descA = np.zeros((cap, 256), np.uint8)
+        uvA = np.zeros((cap, 2), np.float32)
+        vA = np.zeros(cap, bool)
+        descA[:m] = smap.pt_desc[pts_c[:m]]
+        uvA[:m] = uv[:m]
+        vA[:m] = True
+        bound_k = smap.kf_feat_pt[kf] >= 0
+        idx, ok = matching.match_with_windows(
+            jnp.asarray(descA), jnp.asarray(vA),
+            jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound_k),
+            uv_pred1=jnp.asarray(uvA),
+            uv2=jnp.asarray(smap.kf_feat_uv[kf]), radius=radius,
+            max_dist=matching.TH_HIGH, ratio=0.9, mutual=True)
+        idx = np.asarray(idx)[:m]
+        rows = np.nonzero(np.asarray(ok)[:m])[0]
+        if len(rows) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+        pk = smap.kf_feat_pt[kf, idx[rows]]
+        good = smap.pt_valid[pk]
+        rows, pk = rows[good], pk[good]
+        Xk = smap.pt_xyz[pk] @ smap.kf_R[kf].T + smap.kf_t[kf]
+        return Xc[rows].astype(np.float32), Xk.astype(np.float32)
+
+    @staticmethod
+    def _refine_sim3(Xc, Xk, S0, iters: int = 3, th: float = 0.08):
+        """Alternate Horn closed-form fit and relative-residual gating
+        (|S(Xc) - Xk| < th * depth)."""
+        from ..geometry.sim3 import horn_sim3
+        R, t, s = S0
+        keep = np.ones(len(Xc), bool)
+        ni = int(keep.sum())
+        for _ in range(iters):
+            pred = s * (Xc @ np.asarray(R).T) + np.asarray(t)
+            err = np.linalg.norm(pred - Xk, axis=-1)
+            scale_ref = np.maximum(np.abs(Xk[:, 2]), 0.5)
+            keep = err < th * scale_ref
+            ni = int(keep.sum())
+            if ni < 4:
+                return np.asarray(R), np.asarray(t), float(s), ni
+            R_, t_, s_ = horn_sim3(jnp.asarray(Xc), jnp.asarray(Xk),
+                                   jnp.asarray(keep))
+            R, t, s = np.asarray(R_), np.asarray(t_), float(s_)
+        return R, t, s, ni
 
     # ------------------------------------------------------------- correction
     def correct(self, smap: SlamMap, kf: int, cand: int, S_ck):

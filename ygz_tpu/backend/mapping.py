@@ -238,6 +238,46 @@ class LocalMapper:
         smap.pt_ref_R[pt_ids] = smap.kf_R[kf]
         smap.pt_ref_t[pt_ids] = smap.kf_t[kf]
 
+    def update_distinctive_descriptors(self, smap: SlamMap, kf: int,
+                                       max_obs: int = 8):
+        """Refresh pt_desc for points observed by `kf` to the min-median-
+        Hamming descriptor over their keyframe observations (reference
+        MapPoint::ComputeDistinctiveDescriptors src/MapPoint.cc:211,
+        called whenever observations change). One batched call per KF."""
+        binds = smap.kf_feat_pt[kf]
+        pt_ids = np.unique(binds[binds >= 0])
+        pt_ids = pt_ids[smap.pt_valid[pt_ids]]
+        if len(pt_ids) == 0:
+            return
+        win = smap.local_window(kf, self.window + 4)
+        n = len(pt_ids)
+        cap = 1 << int(np.ceil(np.log2(max(n, 256))))  # bucketed problem size
+        loc = np.full(smap.max_pt, -1, np.int64)
+        loc[pt_ids] = np.arange(n)
+        stack = np.zeros((cap, max_obs, 256), np.uint8)
+        valid = np.zeros((cap, max_obs), bool)
+        count = np.zeros(cap, np.int32)
+        for k in win:
+            bk = smap.kf_feat_pt[k]
+            slots = np.nonzero(bk >= 0)[0]
+            lp = loc[bk[slots]]
+            keep = (lp >= 0) & (count[np.maximum(lp, 0)] < max_obs)
+            slots, lp = slots[keep], lp[keep]
+            # first occurrence per point within this KF
+            first = np.unique(lp, return_index=True)[1]
+            slots, lp = slots[first], lp[first]
+            col = count[lp]
+            stack[lp, col] = smap.kf_feat_desc[k, slots]
+            valid[lp, col] = True
+            count[lp] += 1
+        multi = count[:n] >= 2
+        if not multi.any():
+            return
+        _, desc = matching.distinctive_descriptors(
+            jnp.asarray(stack), jnp.asarray(valid))
+        desc = np.asarray(desc)[:n]
+        smap.pt_desc[pt_ids[multi]] = desc[multi]
+
     def median_depth(self, smap: SlamMap, kf: int) -> float:
         pts = smap.kf_feat_pt[kf]
         pts = pts[pts >= 0]
@@ -472,6 +512,16 @@ class LocalMapper:
             redundant = (smap.pt_obs[pids] >= 4).mean()
             if redundant < 0.9:
                 continue
+            # freeze the culled pose relative to a surviving parent so
+            # trajectory recovery can walk past it (reference mTcp);
+            # covisibility must be read BEFORE the bindings are cleared
+            parent = int(smap.kf_parent[k])
+            if parent < 0 or not smap.kf_valid[parent]:
+                cov = smap.covisibility(k)
+                cov = np.where(smap.kf_valid[: smap.n_kf], cov, 0)
+                cov[k] = 0
+                parent = int(np.argmax(cov)) if cov.max() > 0 else 0
+            smap.mark_culled(k, parent)
             # re-home points whose direct-tracking reference this KF is
             refugees = np.unique(pids[smap.pt_ref_kf[pids] == k])
             slots = np.nonzero(binds >= 0)[0]

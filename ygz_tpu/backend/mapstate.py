@@ -38,6 +38,16 @@ class SlamMap:
         self.kf_ts = np.zeros(max_kf, np.float64)
         self.kf_frame_id = np.zeros(max_kf, np.int64)
 
+        # spanning tree (reference KeyFrame parent/children,
+        # include/KeyFrame.h:77-87): parent = strongest-covisibility older
+        # KF; culled KFs store their pose RELATIVE to the parent (the
+        # reference's mTcp, src/KeyFrame.cc:639) so trajectory recovery can
+        # walk past them after later optimizations move the survivors
+        # (System::SaveTrajectoryTUM chain walk, src/System.cc:488-494).
+        self.kf_parent = np.full(max_kf, -1, np.int64)
+        self.kf_cull_R = np.zeros((max_kf, 3, 3), np.float32)  # T_cp rotation
+        self.kf_cull_t = np.zeros((max_kf, 3), np.float32)
+
         self.kf_feat_uv = np.zeros((max_kf, max_feat, 2), np.float32)
         self.kf_feat_level = np.zeros((max_kf, max_feat), np.int32)
         self.kf_feat_desc = np.zeros((max_kf, max_feat, 256), np.uint8)
@@ -82,6 +92,41 @@ class SlamMap:
         self.pt_ref_R[:n] = self.kf_R[refs]
         self.pt_ref_t[:n] = self.kf_t[refs]
 
+    # ------------------------------------------------------------- persistence
+    _SAVED = ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
+              "kf_parent", "kf_cull_R", "kf_cull_t",
+              "kf_feat_uv", "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
+              "kf_feat_valid", "kf_feat_pt",
+              "pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
+              "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
+              "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")
+
+    def save(self, path: str, extra: dict = None):
+        """Serialize the full map to one .npz (SaveMap is an unimplemented
+        TODO in the reference, include/System.h:129-131 — here it is a
+        capability: localization-only sessions can start from a saved map).
+        Keyframe pyramids are not stored (they are tracking-time caches).
+        `extra`: additional arrays stored alongside (e.g. the BoW state)."""
+        arrs = {k: getattr(self, k) for k in self._SAVED}
+        if extra:
+            arrs.update(extra)
+        arrs["n_kf"] = np.int64(self.n_kf)
+        arrs["n_pt"] = np.int64(self.n_pt)
+        arrs["caps"] = np.array([self.max_kf, self.max_pt, self.max_feat],
+                                np.int64)
+        np.savez_compressed(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "SlamMap":
+        z = np.load(path)
+        mk, mp, mf = (int(v) for v in z["caps"])
+        m = cls(max_kf=mk, max_pt=mp, max_feat=mf)
+        for k in cls._SAVED:
+            getattr(m, k)[...] = z[k]
+        m.n_kf = int(z["n_kf"])
+        m.n_pt = int(z["n_pt"])
+        return m
+
     # ---------------------------------------------------------------- keyframes
     def add_keyframe(self, R, t, feats, ts=0.0, frame_id=0,
                      pyramid=None) -> int:
@@ -106,6 +151,50 @@ class SlamMap:
     def set_pose(self, k, R, t):
         self.kf_R[k] = R
         self.kf_t[k] = t
+
+    # ------------------------------------------------------------ spanning tree
+    def assign_parent(self, k: int):
+        """Set k's spanning-tree parent to its strongest-covisibility OLDER
+        valid keyframe (reference KeyFrame::UpdateConnections first-call
+        parent assignment, src/KeyFrame.cc:529-537). Older-only keeps the
+        tree acyclic. No-op if a parent is already set or none qualifies."""
+        if self.kf_parent[k] >= 0 or k == 0:
+            return
+        cov = self.covisibility(k)
+        cov = cov[:k]  # older KFs only
+        cov = np.where(self.kf_valid[:k], cov, 0)
+        if len(cov) and cov.max() > 0:
+            self.kf_parent[k] = int(np.argmax(cov))
+
+    def mark_culled(self, k: int, parent: int):
+        """Freeze a culled KF's pose relative to `parent` (reference
+        KeyFrame::SetBadFlag storing mTcp, src/KeyFrame.cc:639-741).
+        `parent` may itself be culled — its current pose is resolved through
+        the chain. Already-culled children keep pointing at k (their stored
+        T_cp composes through k's); only live children are re-parented."""
+        Rp, tp = self.resolve_pose(parent)
+        self.kf_cull_R[k] = self.kf_R[k] @ Rp.T
+        self.kf_cull_t[k] = self.kf_t[k] - self.kf_cull_R[k] @ tp
+        self.kf_parent[k] = parent
+        children = np.nonzero(self.kf_parent[: self.n_kf] == k)[0]
+        children = children[(children != k) & self.kf_valid[children]]
+        self.kf_parent[children] = parent
+
+    def resolve_pose(self, k: int):
+        """Current world->cam pose of KF k, walking the culled chain: a
+        culled KF's pose is T_cp composed onto its (possibly also culled)
+        parent's resolved pose."""
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        hops = 0
+        while not self.kf_valid[k] and self.kf_parent[k] >= 0 \
+                and hops < self.max_kf:
+            R2 = R @ self.kf_cull_R[k]
+            t = R @ self.kf_cull_t[k] + t
+            R = R2
+            k = int(self.kf_parent[k])
+            hops += 1
+        return R @ self.kf_R[k], R @ self.kf_t[k] + t
 
     # ---------------------------------------------------------------- points
     def alloc_points(self, n: int) -> np.ndarray:

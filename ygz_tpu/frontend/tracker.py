@@ -72,12 +72,18 @@ class TrackerConfig:
 
 @dataclass
 class FrameRecord:
-    """Per-frame trajectory log entry (relative to reference KF, like the
-    reference's mlRelativeFramePoses for trajectory recovery)."""
+    """Per-frame trajectory log entry. R/t is the live world->cam estimate
+    at track time; ref_kf + (R_r, t_r) store the pose RELATIVE to the
+    reference keyframe (the reference's mlRelativeFramePoses,
+    include/Tracking.h:108-114) so later map optimizations (local/global BA,
+    loop correction) propagate into the exported trajectory."""
     ts: float
     R: np.ndarray
     t: np.ndarray
     state: str
+    ref_kf: int = -1
+    R_r: np.ndarray = None
+    t_r: np.ndarray = None
 
 
 class MonoTracker:
@@ -169,6 +175,12 @@ class MonoTracker:
         """Clear map and tracking state (reference Tracking::Reset,
         src/Tracking.cc:1980-2028)."""
         traj = self.trajectory if keep_trajectory else []
+        # bake relative-pose records to absolute against the dying map —
+        # their ref_kf ids would otherwise dangle into the NEW map
+        for rec in traj:
+            if rec.ref_kf >= 0:
+                rec.R, rec.t = self.recovered_pose(rec)
+                rec.ref_kf, rec.R_r, rec.t_r = -1, None, None
         fid = self.frame_id
         self.__init__(self.cam, self.cfg)
         self.trajectory = traj
@@ -213,9 +225,30 @@ class MonoTracker:
         return self.state, R, t
 
     def _log(self, ts, R, t):
+        R = np.array(R, np.float32)
+        t = np.array(t, np.float32)
+        ref, R_r, t_r = -1, None, None
+        if self.state == State.OK and self._last_kf >= 0:
+            with self._map_lock:
+                ref = self._last_kf
+                Rk, tk = self.map.kf_R[ref], self.map.kf_t[ref]
+            # T_cr = T_cw(frame) * inv(T_cw(ref))
+            R_r = R @ Rk.T
+            t_r = t - R_r @ tk
         self.trajectory.append(FrameRecord(
-            ts=ts, R=np.array(R, np.float32), t=np.array(t, np.float32),
-            state=self.state.name))
+            ts=ts, R=R, t=t, state=self.state.name,
+            ref_kf=ref, R_r=R_r, t_r=t_r))
+
+    def recovered_pose(self, rec: FrameRecord):
+        """Frame pose with all post-hoc map corrections applied: compose the
+        logged relative pose onto the ref KF's CURRENT pose, walking the
+        spanning tree past culled KFs (reference System::SaveTrajectoryTUM,
+        src/System.cc:452-508)."""
+        if rec.ref_kf < 0 or rec.R_r is None:
+            return rec.R, rec.t
+        with self._map_lock:
+            Rk, tk = self.map.resolve_pose(rec.ref_kf)
+        return rec.R_r @ Rk, rec.R_r @ tk + rec.t_r
 
     @staticmethod
     def _feats_to_dict(feats):
@@ -325,6 +358,7 @@ class MonoTracker:
                     smap.kf_feat_desc[k], smap.kf_feat_valid[k])
                 self.bow_index.add_keyframe(k, bow)
 
+        smap.kf_parent[kf1] = kf0
         self.state = State.OK
         self._last_kf = kf1
         self._last_kf_frame = self.frame_id
@@ -414,6 +448,7 @@ class MonoTracker:
         visible = np.asarray(dres.visible)[:n]
         uv = np.asarray(dres.uv)[:n]
         lvl = np.asarray(dres.level)[:n]
+        self.debug["viz_uv"] = uv[tracked]  # for viz.draw_tracked_frame
 
         # update found/visible statistics
         np.add.at(smap.pt_visible, ids[visible], 1)
@@ -598,6 +633,8 @@ class MonoTracker:
                     self.mapper.create_new_points(smap, kf, int(prev), pyr)
             # grow observations by binding local-map points to this KF
             self.mapper.bind_map_points(smap, kf)
+            smap.assign_parent(kf)
+            self.mapper.update_distinctive_descriptors(smap, kf)
             self._run_local_ba(smap, kf)
             self.mapper.cull_points(smap)
             n_culled = self.mapper.cull_keyframes(smap, kf)

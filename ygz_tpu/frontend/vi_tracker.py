@@ -76,6 +76,13 @@ class MonoViTracker(MonoTracker):
             self.cfg.async_mapping = False
             self._map_worker = None
 
+        # the reference disables loop CORRECTION under IMU (the Sim3
+        # essential-graph rewrite would fight the metric scale / gravity
+        # alignment of the VIO state; LoopClosing.cc:70-78 gates
+        # ComputeSim3/CorrectLoop on !mbUseIMU). BoW indexing still runs for
+        # relocalization.
+        self.cfg.enable_loop_closing = False
+
         self.vio_ready = False
         self.gravity_w: Optional[np.ndarray] = None
         self.bg = np.zeros(3, np.float32)
@@ -98,6 +105,10 @@ class MonoViTracker(MonoTracker):
 
     def reset(self, keep_trajectory: bool = True):
         traj = self.trajectory if keep_trajectory else []
+        for rec in traj:  # bake relative records against the dying map
+            if rec.ref_kf >= 0:
+                rec.R, rec.t = self.recovered_pose(rec)
+                rec.ref_kf, rec.R_r, rec.t_r = -1, None, None
         fid = self.frame_id
         self.__init__(self.cam, self.cfg, **self._init_kwargs)
         self.trajectory = traj
@@ -281,6 +292,13 @@ class MonoViTracker(MonoTracker):
         smap.pt_xyz[: smap.n_pt] *= s
         smap.kf_t[: smap.n_kf] *= s
         smap.sync_ref_poses()
+        # the trajectory log is rescaled too — both the absolute snapshots
+        # and the KF-relative translations (reference rescales
+        # mlRelativeFramePoses on first VINS init, src/Tracking.cc:421-426)
+        for rec in self.trajectory:
+            rec.t = rec.t * s
+            if rec.t_r is not None:
+                rec.t_r = rec.t_r * s
         self._last_t = self._last_t * s
         self._last_Xc = self._last_Xc * s
         Rv, tv = self._vel
@@ -294,8 +312,8 @@ class MonoViTracker(MonoTracker):
         if len(self.trajectory) >= 2:
             a = self.trajectory[-2]
             b = self.trajectory[-1]
-            ca = -a.R.T @ (a.t * s)
-            cb = -b.R.T @ (b.t * s)
+            ca = -a.R.T @ a.t  # records already rescaled above
+            cb = -b.R.T @ b.t
             dt = max(b.ts - a.ts, 1e-3)
             v = (cb - ca) / dt
         else:

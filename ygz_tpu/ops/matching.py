@@ -108,3 +108,30 @@ def match_with_windows(bits1, valid1, bits2, valid2, uv_pred1=None, uv2=None,
         idx, mok = mutual_filter(idx, idx21)
         ok = ok & mok
     return idx, ok
+
+
+def distinctive_descriptors(desc_stack, valid):
+    """Min-median-Hamming representative descriptor per point.
+
+    desc_stack [N,B,256] 0/1, valid [N,B] — up to B observed descriptors per
+    map point. Returns (best [N] int32 index into B, desc [N,256]): the
+    descriptor whose median distance to the other observations is smallest
+    (reference MapPoint::ComputeDistinctiveDescriptors,
+    src/MapPoint.cc:211-289, scalar loops -> one batched einsum here).
+    """
+    s = desc_stack.astype(jnp.float32) * 2.0 - 1.0
+    dot = jnp.einsum("nib,njb->nij", s, s)
+    d = 0.5 * (N_BITS - dot)                                  # [N,B,B]
+    pair_ok = valid[:, None, :] & valid[:, :, None]
+    d = jnp.where(pair_ok, d, BIG)
+    # masked median over j: sort each row; the median of k valid entries
+    # (incl. self-distance 0) sits at index (k-1)//2 of the sorted row
+    ds = jnp.sort(d, axis=-1)
+    k = valid.sum(-1)[:, None]                                # [N,1]
+    mid = jnp.clip((k - 1) // 2, 0, d.shape[-1] - 1)
+    med = jnp.take_along_axis(ds, mid[..., None], axis=-1)[..., 0]  # [N,B]
+    med = jnp.where(valid, med, BIG)
+    best = jnp.argmin(med, axis=-1).astype(jnp.int32)
+    desc = jnp.take_along_axis(
+        desc_stack, best[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return best, desc

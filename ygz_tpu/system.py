@@ -102,14 +102,18 @@ class System:
 
     # ------------------------------------------------------------- trajectory
     def save_trajectory_tum(self, path: str):
-        """TUM format: ts tx ty tz qx qy qz qw of the CAMERA in world frame
-        (reference System::SaveTrajectoryTUM src/System.cc:452)."""
+        """TUM format: ts tx ty tz qx qy qz qw of the CAMERA in world frame.
+        Poses are recovered by composing each frame's logged relative pose
+        onto its reference keyframe's CURRENT (post-BA/loop) pose, walking
+        the spanning tree past culled keyframes (reference
+        System::SaveTrajectoryTUM src/System.cc:452-508)."""
         with open(path, "w") as f:
             for rec in self.tracker.trajectory:
                 if rec.state != "OK":
                     continue
-                Rwc = rec.R.T
-                twc = -Rwc @ rec.t
+                R, t = self.tracker.recovered_pose(rec)
+                Rwc = R.T
+                twc = -Rwc @ t
                 q = np.asarray(rotmat_to_quat(Rwc))  # [w,x,y,z]
                 f.write(f"{rec.ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
                         f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
@@ -119,8 +123,9 @@ class System:
         (reference System::SaveTrajectoryKITTI src/System.cc:544)."""
         with open(path, "w") as f:
             for rec in self.tracker.trajectory:
-                Rwc = rec.R.T
-                twc = -Rwc @ rec.t
+                R, t = self.tracker.recovered_pose(rec)
+                Rwc = R.T
+                twc = -Rwc @ t
                 vals = np.concatenate(
                     [np.concatenate([Rwc[i], twc[i: i + 1]]) for i in range(3)])
                 f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
@@ -146,6 +151,57 @@ class System:
     def map(self):
         return self.tracker.map
 
+    # ------------------------------------------------------------ persistence
+    def save_map(self, path: str):
+        """Serialize map + place-recognition state to one .npz. (The
+        reference never implemented SaveMap — include/System.h:129-131.)"""
+        tr = self.tracker
+        extra = {}
+        if tr.bow_index is not None:
+            v = tr.bow_index.vocab
+            extra = {"bow_words": v.words, "bow_groups": v.groups,
+                     "bow_idf": v.idf,
+                     "bow_meta": np.array([v.branching, v.depth], np.int64),
+                     "bow_kf_vec": tr.bow_index.kf_vec,
+                     "bow_kf_words": tr.bow_index.kf_words,
+                     "bow_kf_valid": tr.bow_index.kf_valid}
+        with tr._map_lock:
+            tr.map.save(path, extra=extra)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        """Restore a saved map into the tracker. The session starts LOST and
+        re-enters via BoW+PnP relocalization on the first frames; by default
+        the map is frozen (localization-only mode)."""
+        from .backend.mapstate import SlamMap
+        from .backend.bow import Vocabulary, BowIndex
+        from .backend.loopclosing import LoopCloser
+        from .frontend.tracker import State
+
+        tr = self.tracker
+        loaded = SlamMap.load(path)
+        if loaded.n_kf == 0 or not loaded.kf_valid[: loaded.n_kf].any():
+            raise ValueError(f"{path}: map has no valid keyframes "
+                             "(saved before initialization?)")
+        tr.map = loaded
+        z = np.load(path)
+        if "bow_words" in z:
+            vocab = Vocabulary(words=z["bow_words"], groups=z["bow_groups"],
+                               idf=z["bow_idf"],
+                               branching=int(z["bow_meta"][0]),
+                               depth=int(z["bow_meta"][1]))
+            tr.bow_index = BowIndex(vocab, max_kf=tr.map.max_kf)
+            tr.bow_index.kf_vec[...] = z["bow_kf_vec"]
+            tr.bow_index.kf_words[...] = z["bow_kf_words"]
+            tr.bow_index.kf_valid[...] = z["bow_kf_valid"]
+            tr.loop_closer = LoopCloser(tr.bow_index, tr.cam)
+        tr.mapper = tr.mapper  # unchanged; works on the new arrays
+        tr.state = State.LOST  # re-enter via relocalization
+        tr._last_kf = int(np.nonzero(tr.map.kf_valid[: tr.map.n_kf])[0][-1])
+        tr._last_R = np.eye(3, dtype=np.float32)
+        tr._last_t = np.zeros(3, np.float32)
+        tr._rebuild_cache()
+        tr.localization_only = localization_only
+
     def activate_localization_mode(self):
         """Track against the frozen map, stop mapping (reference
         System::ActivateLocalizationMode src/System.cc:97-125)."""
@@ -159,4 +215,7 @@ class System:
         self.tracker.reset(keep_trajectory=False)
 
     def shutdown(self):
-        pass  # no threads to join in the synchronous design
+        """Drain the async mapping worker if one is running (reference
+        System::Shutdown joins LocalMapping/LoopClosing, src/System.cc:434)."""
+        if getattr(self.tracker, "_map_worker", None) is not None:
+            self.tracker.wait_mapping_idle()
