@@ -153,3 +153,50 @@ class TestLocalBA:
         assert not inl[bad_idx].any()
         good_idx = np.setdiff1d(np.nonzero(obs_valid)[0], bad_idx)
         assert inl[good_idx].mean() > 0.9
+
+
+def test_robust_cost_library():
+    """Weight functions / scale estimators vs closed forms (reference
+    include/RobustCost.h:11-151; production call sites use Huber)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ygz_tpu.backend import optim
+
+    chi2 = jnp.asarray(np.array([0.0, 1.0, 4.0, 25.0, 1e4], np.float32))
+    # huber: 1 inside delta2, sqrt(delta2/chi2) outside
+    w = np.asarray(optim.robust_weight(chi2, "huber", 4.0))
+    np.testing.assert_allclose(w, [1, 1, 1, np.sqrt(4 / 25), np.sqrt(4e-4)],
+                               rtol=1e-5)
+    # tukey: zero beyond b^2 (hard outlier rejection)
+    w = np.asarray(optim.robust_weight(chi2, "tukey", 16.0))
+    assert w[0] == 1.0 and w[3] == 0.0 and w[4] == 0.0
+    np.testing.assert_allclose(w[2], (1 - 4 / 16.0) ** 2, rtol=1e-6)
+    # t-dist: (dof+1)/(dof+chi2), monotone decreasing
+    w = np.asarray(optim.robust_weight(chi2, "tdist"))
+    np.testing.assert_allclose(w, 6.0 / (5.0 + np.asarray(chi2)), rtol=1e-6)
+    # unit
+    np.testing.assert_array_equal(
+        np.asarray(optim.robust_weight(chi2, "unit")), np.ones(5))
+
+    rng = np.random.default_rng(0)
+    res = rng.normal(0, 2.0, 4096).astype(np.float32)
+    valid = np.ones(4096, bool)
+    # MAD on a gaussian estimates sigma
+    s = float(optim.mad_scale(jnp.asarray(res), jnp.asarray(valid)))
+    assert abs(s - 2.0) < 0.15, s
+    # ...robust to 10% gross outliers
+    res_o = res.copy()
+    res_o[:400] = 100.0
+    s = float(optim.mad_scale(jnp.asarray(res_o), jnp.asarray(valid)))
+    assert abs(s - 2.0) < 0.35, s  # MAD is biased up ~15% at 10% gross
+    # normal scale = std
+    s = float(optim.normal_scale(jnp.asarray(res), jnp.asarray(valid)))
+    assert abs(s - 2.0) < 0.1, s
+    # t-dist scale: on heavy-tailed data, between MAD and std
+    s = float(optim.tdist_scale(jnp.asarray(res_o), jnp.asarray(valid)))
+    assert 1.5 < s < 4.0, s
+    # masked entries ignored
+    valid2 = valid.copy()
+    valid2[:400] = False
+    s = float(optim.mad_scale(jnp.asarray(res_o), jnp.asarray(valid2)))
+    assert abs(s - 2.0) < 0.3, s

@@ -133,3 +133,98 @@ def test_vio_pose_imu_only_follows_propagation():
     ang = np.degrees(np.arccos(np.clip(
         (np.trace(np.asarray(res.R) @ R1.T) - 1) / 2, -1, 1)))
     assert ang < 0.1
+
+
+def test_pair_optimization_recovers_motion_and_marginalizes():
+    """Two-NavState optimization (reference PoseOptimization(F, F, preint,
+    gw, marg=true), Optimizer.cc:278-616): both states free, prior on the
+    previous one, exact IMU factor, reprojection on both frames; the
+    marginalized prior must be the Schur complement onto the current state."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ygz_tpu.backend.vio_optim import vio_pose_optimization_pair
+    from ygz_tpu.imu.preintegration import PreintState
+    from ygz_tpu.geometry.lie import so3_exp
+
+    rng = np.random.default_rng(8)
+    gw = np.array([0.0, 0.0, -9.81], np.float32)
+    dt = 0.05
+    intr = (400.0, 400.0, 320.0, 240.0)
+    Rcb = np.eye(3, dtype=np.float32)
+    tcb = np.zeros(3, np.float32)
+
+    # true states (body frame == cam frame here)
+    P0 = np.zeros(3, np.float32)
+    V0 = np.array([0.4, 0.1, 0.0], np.float32)
+    R0 = np.eye(3, dtype=np.float32)
+    R1 = np.asarray(so3_exp(jnp.asarray(np.array([0.01, 0.03, -0.02],
+                                                 np.float32))))
+    P1 = P0 + V0 * dt + 0.5 * gw * dt * dt + np.array([0.002, 0, 0.001],
+                                                      np.float32)
+    V1 = V0 + gw * dt + np.array([0.04, 0.0, 0.02], np.float32)
+
+    # exact preintegration for this motion (zero-noise factor)
+    z33 = np.zeros((3, 3), np.float32)
+    pre = PreintState(
+        dP=jnp.asarray(R0.T @ (P1 - P0 - V0 * dt - 0.5 * gw * dt * dt)),
+        dV=jnp.asarray(R0.T @ (V1 - V0 - gw * dt)),
+        dR=jnp.asarray(R0.T @ R1),
+        J_P_bg=jnp.asarray(z33), J_P_ba=jnp.asarray(z33),
+        J_V_bg=jnp.asarray(z33), J_V_ba=jnp.asarray(z33),
+        J_R_bg=jnp.asarray(z33),
+        cov=jnp.asarray(np.eye(9, dtype=np.float32) * 1e-6),
+        dt=jnp.asarray(np.float32(dt)))
+
+    # landmarks + projections (pinhole; world frame)
+    N = 96
+    X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                  rng.uniform(4, 8, N)], -1).astype(np.float32)
+
+    def proj(P, R):
+        Xc = (X - P) @ R
+        return np.stack([intr[0] * Xc[:, 0] / Xc[:, 2] + intr[2],
+                         intr[1] * Xc[:, 1] / Xc[:, 2] + intr[3]],
+                        -1).astype(np.float32)
+
+    uv0 = proj(P0, R0) + rng.normal(0, 0.2, (N, 2)).astype(np.float32)
+    uv1 = proj(P1, R1) + rng.normal(0, 0.2, (N, 2)).astype(np.float32)
+    ones = np.ones(N, np.float32)
+    validv = np.ones(N, bool)
+
+    bias = np.zeros(3, np.float32)
+    prev = tuple(jnp.asarray(a) for a in (P0, V0, R0, bias, bias))
+    # perturbed current init
+    cur0 = (jnp.asarray(P1 + [0.05, -0.03, 0.04]),
+            jnp.asarray(V1 + [0.3, -0.2, 0.1]),
+            jnp.asarray(R1 @ np.asarray(so3_exp(jnp.asarray(
+                np.array([0.02, -0.02, 0.01], np.float32))))),
+            jnp.asarray(bias), jnp.asarray(bias))
+    prior_info = jnp.asarray(np.eye(15, dtype=np.float32) * 1e4)
+
+    res = vio_pose_optimization_pair(
+        cur0, prev, pre, (jnp.asarray(bias), jnp.asarray(bias)),
+        prev, prior_info, jnp.asarray(True),
+        jnp.asarray(X), jnp.asarray(uv0), jnp.asarray(ones),
+        jnp.asarray(validv),
+        jnp.asarray(X), jnp.asarray(uv1), jnp.asarray(ones),
+        jnp.asarray(validv),
+        jnp.asarray(Rcb), jnp.asarray(tcb), intr, jnp.asarray(gw))
+
+    P = np.asarray(res.P)
+    V = np.asarray(res.V)
+    R = np.asarray(res.R)
+    assert int(res.n_inliers) > 80
+    np.testing.assert_allclose(P, P1, atol=5e-3)
+    np.testing.assert_allclose(V, V1, atol=5e-2)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R @ R1.T) - 1) / 2, -1, 1)))
+    assert ang < 0.2, ang
+
+    # marginalized prior: symmetric positive-semidefinite with strong
+    # pose/velocity information (many reprojection edges + exact IMU)
+    M = np.asarray(res.prior_info)
+    np.testing.assert_allclose(M, M.T, atol=1e-2)
+    ev = np.linalg.eigvalsh(M)
+    assert ev.min() > -1e-2 * abs(ev.max()), ev.min()
+    assert np.all(np.diag(M)[:3] > 1.0)   # position informed
+    # prior mean is the optimized current state
+    np.testing.assert_allclose(np.asarray(res.prior_mean[0]), P)

@@ -68,6 +68,77 @@ def _huber_weight(chi2, delta2):
                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
+# ---- robust-cost library (reference include/RobustCost.h:11-151) ---------
+# The reference ships Unit/Huber/Tukey/t-dist weight functions and
+# Unit/t-dist/MAD/Normal scale estimators for its NLLS solver; its production
+# call sites all use Huber, which remains the default throughout this
+# backend. The others are provided (batched) for parity and tuning.
+
+TUKEY_B2 = 4.6851 ** 2        # RobustCost.h TukeyWeightFunction default
+TDIST_DOF = 5.0               # t-distribution degrees of freedom
+
+
+def tukey_weight(chi2, b2=TUKEY_B2):
+    """Tukey biweight: (1 - chi2/b^2)^2 inside, 0 outside (hard rejection)."""
+    x = 1.0 - chi2 / b2
+    return jnp.where(chi2 <= b2, x * x, 0.0)
+
+
+def tdist_weight(chi2, dof=TDIST_DOF):
+    """Student-t IRLS weight: (dof+1) / (dof + chi2)."""
+    return (dof + 1.0) / (dof + chi2)
+
+
+def mad_scale(res, valid):
+    """Median-absolute-deviation scale: 1.4826 * median(|r - median(r)|)
+    over valid entries (RobustCost.h MADScaleEstimator)."""
+    big = jnp.float32(1e30)
+    r = jnp.where(valid, res, big)
+    n = jnp.maximum(valid.sum(), 1)
+    med_idx = (n - 1) // 2
+    med = jnp.sort(r)[med_idx]
+    ad = jnp.where(valid, jnp.abs(res - med), big)
+    mad = jnp.sort(ad)[med_idx]
+    return 1.4826 * mad
+
+
+def normal_scale(res, valid):
+    """Standard deviation of the valid residuals (NormalDistributionScale)."""
+    w = valid.astype(res.dtype)
+    n = jnp.maximum(w.sum(), 1.0)
+    mu = (res * w).sum() / n
+    return jnp.sqrt(((res - mu) ** 2 * w).sum() / n)
+
+
+def tdist_scale(res, valid, dof=TDIST_DOF, iters: int = 10):
+    """t-distribution scale by fixed-point iteration
+    (RobustCost.h TDistributionScaleEstimator), batched over all residuals."""
+    w = valid.astype(res.dtype)
+    n = jnp.maximum(w.sum(), 1.0)
+    r2 = res * res
+
+    def body(_, s2):
+        lam = (dof + 1.0) / (dof + r2 / jnp.maximum(s2, 1e-12))
+        return (lam * r2 * w).sum() / n
+
+    s2 = jax.lax.fori_loop(0, iters, body, jnp.asarray(1.0, res.dtype))
+    return jnp.sqrt(s2)
+
+
+def robust_weight(chi2, kind: str = "huber", delta2=CHI2_MONO):
+    """Dispatch IRLS weight by kernel name ('unit'|'huber'|'tukey'|'tdist').
+    `kind` must be static under jit."""
+    if kind == "unit":
+        return jnp.ones_like(chi2)
+    if kind == "huber":
+        return _huber_weight(chi2, delta2)
+    if kind == "tukey":
+        return tukey_weight(chi2, delta2 if delta2 else TUKEY_B2)
+    if kind == "tdist":
+        return tdist_weight(chi2)
+    raise ValueError(f"unknown robust kernel: {kind}")
+
+
 def solve_preconditioned(H, b):
     """Solve H x = b with Jacobi (diagonal) preconditioning.
 

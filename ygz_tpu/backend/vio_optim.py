@@ -3,20 +3,21 @@
 Re-design of the reference's NavState frame optimizers
 (Optimizer::PoseOptimization(Frame, Frame|KeyFrame, preint, gw, marg)
 /root/reference/src/Optimizer.cc:278-862, IMU factor src/IMU/
-g2otypes.cpp:6-199): the current frame's 15-DoF NavState
-[dP, dV, dPhi, dbg, dba] is optimized against
-  * the IMU preintegration factor to the previous frame/keyframe (held
-    fixed), weighted by the inverse 9x9 preintegration covariance;
-  * the bias random-walk factor to the previous biases;
-  * batched monocular reprojection residuals through the body pose
-    (T_cw = T_cb * T_bw);
-  * an optional 15x15 marginalized prior carried from the previous frame.
+g2otypes.cpp:6-199). Two variants:
+
+  * `vio_pose_optimization` — single free 15-DoF NavState against a FIXED
+    previous state (IMU preintegration factor + bias random walk +
+    reprojection + optional prior); the fallback when the previous frame
+    has no usable observation set.
+  * `vio_pose_optimization_pair` — the full reference semantics: BOTH
+    NavStates free, 15x15 marginal prior on the previous one, reprojection
+    on both frames, previous state Schur-marginalized out after convergence
+    (computeMarginals, Optimizer.cc:598-613) to produce the next frame's
+    prior.
 
 Jacobians come from one forward-mode autodiff of the stacked residual (the
 reference hand-derives ~200 lines of analytic Jacobians); IRLS Huber weights
-and chi2 gating follow the reference's constants. The posterior information
-matrix is returned as the next frame's prior (computeMarginals,
-Optimizer.cc:598-613 — trivial here because only one state is optimized).
+and chi2 gating follow the reference's constants.
 """
 from __future__ import annotations
 
@@ -82,8 +83,9 @@ def vio_pose_optimization(cur, prev, pre: PreintState, bias_lin,
         jnp.full(3, 1.0 / (GYR_BIAS_RW2 * jnp.maximum(dt, 1e-3))),
         jnp.full(3, 1.0 / (ACC_BIAS_RW2 * jnp.maximum(dt, 1e-3)))])
     bias_L = jnp.sqrt(bias_w)
+    _pi = 0.5 * (prior_info + prior_info.T)
     prior_L = jnp.linalg.cholesky(
-        0.5 * (prior_info + prior_info.T) + 1e-8 * jnp.eye(15))
+        _pi + (1e-6 * jnp.trace(_pi) / 15.0 + 1e-8) * jnp.eye(15))
     prior_scale = jnp.where(has_prior, 1.0, 0.0)
 
     def residuals(d, state, inl_mask):
@@ -166,6 +168,159 @@ def vio_pose_optimization(cur, prev, pre: PreintState, bias_lin,
     P, V, R, bg, ba = state
     return VioPoseResult(P=P, V=V, R=R, bg=bg, ba=ba, inliers=inl,
                          n_inliers=jnp.sum(inl), marg_info=H)
+
+
+class VioPairResult(NamedTuple):
+    P: jnp.ndarray         # current-frame NavState (optimized)
+    V: jnp.ndarray
+    R: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inliers: jnp.ndarray   # [N] current-frame reprojection inliers
+    n_inliers: jnp.ndarray
+    prior_mean: tuple      # next frame's prior mean = optimized cur state
+    prior_info: jnp.ndarray  # [15,15] marginalized information for cur
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def vio_pose_optimization_pair(cur, prev, pre: PreintState, bias_lin,
+                               prior_mean, prior_info, has_prior,
+                               Xp, uvp, is2p, validp,
+                               Xc, uvc, is2c, validc,
+                               Rcb, tcb, intr, gw,
+                               rounds: int = 3, iters: int = 8):
+    """Two-NavState frame optimization with marginalization of the previous
+    state — the full reference semantics (Optimizer::PoseOptimization(Frame,
+    Frame|KeyFrame, preint, gw, bComputeMarg) src/Optimizer.cc:278-616):
+
+      * BOTH the previous and the current 15-DoF NavStates are free;
+      * a 15x15 prior (the previous marginalization result,
+        EdgeNavStatePriorPVRBias) anchors the previous state;
+      * the IMU preintegration factor + bias random walk couple the pair;
+      * reprojection residuals on BOTH frames (each frame's tracked points);
+      * after convergence the previous state is marginalized by Schur
+        complement (computeMarginals, Optimizer.cc:598-613):
+        prior_cur = H_cc - H_cp H_pp^-1 H_pc, mean = optimized cur.
+
+    cur/prev/prior_mean: (P, V, R, bg, ba). pre: preintegration prev->cur at
+    bias_lin. Xp/uvp/is2p/validp: previous-frame points; Xc/...: current.
+    """
+    fx, fy, cx, cy = intr
+    Np = Xp.shape[0]
+    Nc = Xc.shape[0]
+    dt = pre.dt
+    bg_lin, ba_lin = bias_lin
+    Pm, Vm, Rm, bgm, bam = prior_mean
+
+    imu_info = jnp.linalg.inv(pre.cov + 1e-10 * jnp.eye(9))
+    imu_L = jnp.linalg.cholesky(0.5 * (imu_info + imu_info.T))
+    bias_L = jnp.sqrt(jnp.concatenate([
+        jnp.full(3, 1.0 / (GYR_BIAS_RW2 * jnp.maximum(dt, 1e-3))),
+        jnp.full(3, 1.0 / (ACC_BIAS_RW2 * jnp.maximum(dt, 1e-3)))]))
+    _pi = 0.5 * (prior_info + prior_info.T)
+    prior_L = jnp.linalg.cholesky(
+        _pi + (1e-6 * jnp.trace(_pi) / 15.0 + 1e-8) * jnp.eye(15))
+    prior_scale = jnp.where(has_prior, 1.0, 0.0)
+
+    def reproj(state, X, uv, is2, mask):
+        P, V, R, bg, ba = state
+        Xb = (X - P[None, :]) @ R
+        Xc_ = Xb @ Rcb.T + tcb[None, :]
+        zi = 1.0 / jnp.maximum(Xc_[:, 2], 1e-6)
+        u = fx * Xc_[:, 0] * zi + cx
+        v = fy * Xc_[:, 1] * zi + cy
+        w = jnp.sqrt(is2 * mask * (Xc_[:, 2] > 0.1))
+        r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], -1)
+        return r, w, Xc_[:, 2]
+
+    def residuals(d, sp, sc, inlp, inlc, wup, wuc):
+        """Stacked whitened residual of the 30-dim increment d.
+        wup/wuc: per-point Huber IRLS sqrt-weights (computed outside)."""
+        p = _inc(sp, d[:15])
+        c = _inc(sc, d[15:])
+        Pp, Vp, Rp, bgp, bap = p
+        Pc, Vc, Rc, bgc, bac = c
+        # prior on prev
+        r_pr = prior_scale * (prior_L.T @ jnp.concatenate([
+            Pp - Pm, Vp - Vm, so3_log_safe(Rm.T @ Rp), bgp - bgm, bap - bam]))
+        # IMU preintegration factor (bias-corrected, prev biases)
+        dbg = bgp - bg_lin
+        dba = bap - ba_lin
+        dP = pre.dP + pre.J_P_bg @ dbg + pre.J_P_ba @ dba
+        dV = pre.dV + pre.J_V_bg @ dbg + pre.J_V_ba @ dba
+        dR = pre.dR @ so3_exp(pre.J_R_bg @ dbg)
+        Rpt = Rp.T
+        rP = Rpt @ (Pc - Pp - Vp * dt - 0.5 * gw * dt * dt) - dP
+        rV = Rpt @ (Vc - Vp - gw * dt) - dV
+        rR = so3_log_safe(dR.T @ (Rpt @ Rc))
+        r_imu = imu_L.T @ jnp.concatenate([rP, rV, rR])
+        # bias random walk prev -> cur
+        r_bias = bias_L * jnp.concatenate([bgc - bgp, bac - bap])
+        # reprojection on both frames
+        rp_, wp_, _ = reproj(p, Xp, uvp, is2p, inlp)
+        rc_, wc_, _ = reproj(c, Xc, uvc, is2c, inlc)
+        r_uvp = (rp_ * (wp_ * wup)[:, None]).reshape(-1)
+        r_uvc = (rc_ * (wc_ * wuc)[:, None]).reshape(-1)
+        return jnp.concatenate([r_pr, r_imu, r_bias, r_uvp, r_uvc])
+
+    def chi2_of(state, X, uv, is2):
+        r, w, z = reproj(state, X, uv, is2, jnp.ones(X.shape[0]))
+        return jnp.sum(r * r, -1) * is2, z
+
+    sp, sc = prev, cur
+    inlp = validp.astype(jnp.float32)
+    inlc = validc.astype(jnp.float32)
+
+    def gn_round(sp, sc, inlp, inlc, use_huber):
+        def body(_, st):
+            sp, sc = st
+            if use_huber:
+                c2p, _ = chi2_of(sp, Xp, uvp, is2p)
+                c2c, _ = chi2_of(sc, Xc, uvc, is2c)
+                wup = jnp.sqrt(_huber_weight(c2p, CHI2_MONO))
+                wuc = jnp.sqrt(_huber_weight(c2c, CHI2_MONO))
+            else:
+                wup = jnp.ones(Np)
+                wuc = jnp.ones(Nc)
+            z = jnp.zeros(30)
+            r = residuals(z, sp, sc, inlp, inlc, wup, wuc)
+            J = jax.jacfwd(residuals)(z, sp, sc, inlp, inlc, wup, wuc)
+            H = J.T @ J
+            b = J.T @ r
+            H = H + 1e-8 * jnp.trace(H) / 30.0 * jnp.eye(30)
+            d = -solve_preconditioned(H, b)
+            return (_inc(sp, d[:15]), _inc(sc, d[15:]))
+
+        return jax.lax.fori_loop(0, iters, body, (sp, sc))
+
+    for rd in range(rounds):
+        sp, sc = gn_round(sp, sc, inlp, inlc, use_huber=rd < rounds - 1)
+        c2p, zp = chi2_of(sp, Xp, uvp, is2p)
+        c2c, zc = chi2_of(sc, Xc, uvc, is2c)
+        inlp = (validp & (c2p < CHI2_MONO) & (zp > 0.1)).astype(jnp.float32)
+        inlc = (validc & (c2c < CHI2_MONO) & (zc > 0.1)).astype(jnp.float32)
+
+    # posterior information and Schur marginalization of the previous state
+    z30 = jnp.zeros(30)
+    Jf = jax.jacfwd(residuals)(z30, sp, sc, inlp, inlc,
+                               jnp.ones(Np), jnp.ones(Nc))
+    H = Jf.T @ Jf
+    Hpp = H[:15, :15] + 1e-6 * jnp.eye(15)
+    Hpc = H[:15, 15:]
+    Hcc = H[15:, 15:]
+    marg = Hcc - Hpc.T @ jnp.linalg.solve(Hpp, Hpc)
+    marg = 0.5 * (marg + marg.T)
+    # project to PSD: float32 Schur complements carry O(eps*|H|) negative
+    # eigenvalues that would NaN the next frame's prior Cholesky
+    ew, EV = jnp.linalg.eigh(marg)
+    marg = (EV * jnp.maximum(ew, 0.0)[None, :]) @ EV.T
+    marg = 0.5 * (marg + marg.T)
+
+    P, V, R, bg, ba = sc
+    inl = inlc > 0
+    return VioPairResult(P=P, V=V, R=R, bg=bg, ba=ba, inliers=inl,
+                         n_inliers=jnp.sum(inl),
+                         prior_mean=sc, prior_info=marg)
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,8 @@ from ..geometry import camera as cam_mod
 from ..imu.preintegration import preintegrate, predict_navstate, PreintState
 from ..imu.navstate import NavState
 from ..imu.vins_init import vins_initialize
-from ..backend.vio_optim import vio_pose_optimization
+from ..backend.vio_optim import (vio_pose_optimization,
+                                 vio_pose_optimization_pair)
 from .tracker import MonoTracker, TrackerConfig, State
 
 FRAME_IMU_CAP = 64
@@ -69,6 +70,13 @@ class MonoViTracker(MonoTracker):
         self.gravity_mag = gravity_mag
         self.vins_init_kfs = vins_init_kfs
         self.vins_init_time = vins_init_time
+        # forgetting factor on the carried marginal prior. The frame chain
+        # re-adds the previous frame's reprojection edges next to the prior
+        # that already contains them (the reference does the same,
+        # Optimizer.cc:278-616) — information double-counts and after a few
+        # frames the prior out-weighs fresh vision; discounting it keeps the
+        # prior as a smoother, not an anchor.
+        self.prior_forget = 0.2
 
         # async mapping is not yet supported with the IMU chain (the KF IMU
         # window must be recorded before the worker runs the window BA)
@@ -91,6 +99,8 @@ class MonoViTracker(MonoTracker):
         self._prior_info = np.eye(15, dtype=np.float32)
         self._has_prior = False
         self._prior_mean = None
+        self._prev_obs = None   # last frame's (X, uv, is2, valid) for the
+        #                         two-state pair optimization
 
         self._imu_frame = []        # samples since last frame
         self._imu_since_kf = []     # samples since last keyframe
@@ -178,15 +188,9 @@ class MonoViTracker(MonoTracker):
                            np.asarray(ns2.R))
         return self._body_to_cam(np.asarray(ns2.R), np.asarray(ns2.P))
 
-    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
-        if not self.vio_ready or self._ns is None:
-            return None
+    def _gather_obs(self, ids, uv, lvl):
+        """Pad tracked observations to the fixed cap for the optimizers."""
         smap = self.map
-        P0, V0, R0 = self._ns
-        R_wb, P_wb = self._cam_to_body(R_cur, t_cur)
-        # velocity init: propagate or finite-difference
-        Vc = getattr(self, "_pred_body", (None, V0, None))[1]
-
         cap = self.cfg.max_track
         n = min(len(ids), cap)
         X = np.zeros((cap, 3), np.float32)
@@ -197,24 +201,58 @@ class MonoViTracker(MonoTracker):
         uvp[:n] = uv[:n]
         is2[:n] = 0.25 ** lvl[:n]
         val[:n] = True
+        return X, uvp, is2, val
 
-        prior_mean = self._prior_mean if self._has_prior else \
-            (jnp.asarray(P0), jnp.asarray(V0), jnp.asarray(R0),
-             jnp.asarray(self.bg), jnp.asarray(self.ba))
-        res = vio_pose_optimization(
-            (jnp.asarray(P_wb.astype(np.float32)),
-             jnp.asarray(np.asarray(Vc, np.float32)),
-             jnp.asarray(R_wb.astype(np.float32)),
-             jnp.asarray(self.bg), jnp.asarray(self.ba)),
-            (jnp.asarray(P0), jnp.asarray(V0), jnp.asarray(R0),
-             jnp.asarray(self.bg), jnp.asarray(self.ba)),
-            self._frame_pre, (jnp.asarray(self.bg), jnp.asarray(self.ba)),
-            prior_mean, jnp.asarray(self._prior_info),
-            jnp.asarray(self._has_prior),
-            jnp.asarray(X), jnp.asarray(uvp), jnp.asarray(is2),
-            jnp.asarray(val),
-            jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
-            jnp.asarray(self.gravity_w))
+    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
+        if not self.vio_ready or self._ns is None:
+            return None
+        P0, V0, R0 = self._ns
+        R_wb, P_wb = self._cam_to_body(R_cur, t_cur)
+        # velocity init: propagate or finite-difference
+        Vc = getattr(self, "_pred_body", (None, V0, None))[1]
+
+        X, uvp, is2, val = self._gather_obs(ids, uv, lvl)
+        cur0 = (jnp.asarray(P_wb.astype(np.float32)),
+                jnp.asarray(np.asarray(Vc, np.float32)),
+                jnp.asarray(R_wb.astype(np.float32)),
+                jnp.asarray(self.bg), jnp.asarray(self.ba))
+        prev = (jnp.asarray(P0), jnp.asarray(V0), jnp.asarray(R0),
+                jnp.asarray(self.bg), jnp.asarray(self.ba))
+        prior_mean = self._prior_mean if self._has_prior else prev
+
+        if self._prev_obs is not None:
+            # full reference semantics: two free NavStates + marginal prior
+            # on the previous one, reprojection on BOTH frames, previous
+            # state Schur-marginalized out (PoseOptimization(F, F, preint,
+            # gw, marg=true), Optimizer.cc:278-616)
+            Xp_, uvp_, is2p_, valp_ = self._prev_obs
+            res = vio_pose_optimization_pair(
+                cur0, prev, self._frame_pre,
+                (jnp.asarray(self.bg), jnp.asarray(self.ba)),
+                prior_mean, jnp.asarray(self._prior_info),
+                jnp.asarray(self._has_prior),
+                jnp.asarray(Xp_), jnp.asarray(uvp_), jnp.asarray(is2p_),
+                jnp.asarray(valp_),
+                jnp.asarray(X), jnp.asarray(uvp), jnp.asarray(is2),
+                jnp.asarray(val),
+                jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
+                jnp.asarray(self.gravity_w))
+            self._prior_mean = tuple(res.prior_mean)
+            self._prior_info = self.prior_forget * np.asarray(res.prior_info)
+            self._has_prior = self.prior_forget > 0
+        else:
+            # no previous-frame observations (first frame after init/reset):
+            # single-state fallback, previous held fixed
+            res = vio_pose_optimization(
+                cur0, prev, self._frame_pre,
+                (jnp.asarray(self.bg), jnp.asarray(self.ba)),
+                prior_mean, jnp.asarray(self._prior_info),
+                jnp.asarray(self._has_prior),
+                jnp.asarray(X), jnp.asarray(uvp), jnp.asarray(is2),
+                jnp.asarray(val),
+                jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
+                jnp.asarray(self.gravity_w))
+            self._has_prior = False
 
         P1 = np.asarray(res.P)
         V1 = np.asarray(res.V)
@@ -223,13 +261,9 @@ class MonoViTracker(MonoTracker):
         self.ba = np.asarray(res.ba).astype(np.float32)
         self._ns = (P1.astype(np.float32), V1.astype(np.float32),
                     R1.astype(np.float32))
-        # NOTE: the reference carries a 15x15 marginalized PAIR prior
-        # (computeMarginals of the two-frame graph, Optimizer.cc:598-613).
-        # Re-using the single-frame posterior as a prior anchors the next
-        # frame's position to the previous one and freezes the trajectory —
-        # so until proper pair marginalization lands, temporal coupling comes
-        # from the IMU factor + the bias random-walk term only.
-        self._has_prior = False
+        # current observations become the next frame's "previous frame"
+        # reprojection set
+        self._prev_obs = (X, uvp, is2, val)
         return self._body_to_cam(R1, P1)
 
     def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:
@@ -241,6 +275,7 @@ class MonoViTracker(MonoTracker):
             self._ns = (P.astype(np.float32), V.astype(np.float32),
                         R.astype(np.float32))
         self._has_prior = False
+        self._prev_obs = None
         return True
 
     # ------------------------------------------------------------- keyframes
@@ -257,6 +292,13 @@ class MonoViTracker(MonoTracker):
         self._imu_since_kf = []
         if not self.vio_ready:
             self._try_vins_init()
+        # the window BA at this KF rewrites poses/points: the carried
+        # marginal prior and the previous frame's landmark snapshot are
+        # stale against the optimized map — drop them (the reference
+        # similarly switches to PoseOptimization(F, lastKF) without a
+        # frame prior right after a keyframe, src/Tracking.cc:1264-1340)
+        self._has_prior = False
+        self._prev_obs = None
         return out
 
     def _kf_preints(self, bg):
