@@ -48,8 +48,11 @@ def load_system(args, sensor, default_cam=None, **kw):
         s = load_settings(args.settings)
         cam = s.camera
         cfg = s.tracker
-        if s.vio.use_imu:
+        if s.vio.use_imu and getattr(sensor, "name", "") == "MONO_VI":
             kw.setdefault("Tbc", s.vio.Tbc)
+            # the reference reads these from the YAML too
+            # (src/IMU/configparam.cpp:11-15)
+            kw.setdefault("vins_init_time", s.vio.vins_init_time)
     else:
         cam = default_cam
         cfg = None

@@ -4,7 +4,11 @@ from common import base_parser, load_system, TrackTimer, maybe_eval_ate
 
 
 def main():
-    args = base_parser("Mono-inertial EuRoC").parse_args()
+    p = base_parser("Mono-inertial EuRoC")
+    p.add_argument("--save-navstate", default=None, metavar="FILE",
+                   help="also save the per-keyframe NavState trajectory "
+                        "(reference SaveKeyFrameTrajectoryNavState)")
+    args = p.parse_args()
     from ygz_tpu.io.datasets import EurocDataset
     from ygz_tpu.system import Sensor
     from ygz_tpu.geometry.camera import Camera
@@ -26,6 +30,9 @@ def main():
           "scale:", sys_.tracker.vins_scale)
     sys_.save_trajectory_tum(args.out)
     print(f"trajectory -> {args.out}")
+    if args.save_navstate and sys_.tracker.vio_ready:
+        sys_.save_keyframe_trajectory_navstate(args.save_navstate)
+        print(f"NavState keyframe trajectory -> {args.save_navstate}")
     maybe_eval_ate(sys_, ds, args, with_scale=False)
 
 

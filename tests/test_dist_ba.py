@@ -88,3 +88,62 @@ def test_distributed_ba_converges_and_matches_mesh_sizes():
     err0 = np.linalg.norm(Xp - X, axis=1).mean()
     err1 = np.linalg.norm(results[1].points - X, axis=1).mean()
     assert err1 < 0.6 * err0
+
+
+def test_mapper_global_ba_distributed_matches_single():
+    """LocalMapper.global_ba with a mesh (observation-sharded dist BA) agrees
+    with the single-device path on the same map."""
+    import copy
+    from ygz_tpu.backend.mapstate import SlamMap
+    from ygz_tpu.backend.mapping import LocalMapper
+    from ygz_tpu.geometry import camera as cam_mod
+
+    rng = np.random.default_rng(4)
+    cam = cam_mod.Camera.make(*INTR, 640, 480)
+    P, L = 5, 300
+    X = np.stack([rng.uniform(-2, 2, L), rng.uniform(-1.5, 1.5, L),
+                  rng.uniform(4, 9, L)], 1).astype(np.float32)
+
+    def build_map():
+        smap = SlamMap(max_kf=8, max_pt=1024, max_feat=512)
+        ids = smap.alloc_points(L)
+        smap.pt_xyz[ids] = X + rng.normal(0, 0.02, X.shape)
+        smap.pt_valid[ids] = True
+        for p in range(P):
+            w = rng.standard_normal(3).astype(np.float32) * 0.0
+            R = np.eye(3, dtype=np.float32)
+            t = np.array([0.25 * p, 0, 0], np.float32)
+            Xc = X @ R.T + t
+            uv = np.stack([INTR[0] * Xc[:, 0] / Xc[:, 2] + INTR[2],
+                           INTR[1] * Xc[:, 1] / Xc[:, 2] + INTR[3]], 1)
+            uv = (uv + rng.normal(0, 0.3, uv.shape)).astype(np.float32)
+            inb = ((uv > 10).all(1) & (uv < [630, 470]).all(1))
+            feats = {"uv": uv, "level": np.zeros(L, np.int32),
+                     "angle": np.zeros(L, np.float32),
+                     "desc": np.zeros((L, 256), np.uint8), "valid": inb}
+            # perturbed poses (except the anchor)
+            tp = t + (rng.normal(0, 0.02, 3) if p else 0)
+            smap.add_keyframe(R, tp.astype(np.float32), feats)
+            smap.bind(P - 1 if False else p, np.nonzero(inb)[0],
+                      ids[np.nonzero(inb)[0]])
+        return smap
+
+    rng = np.random.default_rng(4)
+    m1 = build_map()
+    rng = np.random.default_rng(4)
+    m2 = build_map()
+
+    single = LocalMapper(cam)
+    mesh = Mesh(np.array(jax.devices()), ("obs",))
+    dist = LocalMapper(cam, mesh=mesh)
+    single.global_ba(m1)
+    dist.global_ba(m2)
+
+    # both must land near the true geometry
+    for m in (m1, m2):
+        err_t = np.linalg.norm(
+            m.kf_t[:P] - np.stack([[0.25 * p, 0, 0] for p in range(P)]),
+            axis=1)
+        assert err_t.max() < 0.01, err_t
+    np.testing.assert_allclose(m1.kf_t[:P], m2.kf_t[:P], atol=2e-3)
+    np.testing.assert_allclose(m1.pt_xyz[:L], m2.pt_xyz[:L], atol=2e-2)

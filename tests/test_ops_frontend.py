@@ -203,3 +203,40 @@ class TestMatching:
             jnp.asarray(ang1), jnp.asarray(ang2), idx, ok))
         assert ok2[5:].all()
         assert not ok2[:5].any()
+
+
+def test_octree_selection_covers_and_concentrates():
+    """select_octree (DistributeOctTree semantics): every textured coarse
+    region keeps a corner (coverage) and remaining budget concentrates in
+    texture-dense areas."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ygz_tpu.ops import select
+
+    rng = np.random.default_rng(3)
+    H, W = 240, 320
+    score = np.zeros((H, W), np.float32)
+    # sparse texture on the left half: one corner per 40x40 region
+    for y in range(40, H - 40, 40):
+        for x in range(40, W // 2 - 20, 40):
+            score[y, x] = rng.uniform(1, 5)
+    # dense texture in the right half
+    ys = rng.integers(30, H - 30, 300)
+    xs = rng.integers(W // 2 + 10, W - 30, 300)
+    score[ys, xs] = rng.uniform(1, 50, 300)
+
+    uv, s, valid = select.select_octree(jnp.asarray(score), max_kp=120,
+                                        border=16)
+    uv = np.asarray(uv)[np.asarray(valid)]
+    assert len(uv) > 60
+    # coverage: every sparse-region corner that exists is picked
+    left = uv[uv[:, 0] < W // 2 - 16]
+    n_left_expected = sum(1 for y in range(40, H - 40, 40)
+                          for x in range(40, W // 2 - 20, 40))
+    assert len(left) >= 0.8 * n_left_expected, (len(left), n_left_expected)
+    # concentration: the dense half gets the majority of the budget
+    right = uv[uv[:, 0] >= W // 2]
+    assert len(right) > 2 * len(left)
+    # all picks are actual corners
+    for x, y in uv:
+        assert score[int(y), int(x)] > 0

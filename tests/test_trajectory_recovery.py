@@ -114,3 +114,39 @@ def test_saved_trajectory_reflects_post_hoc_corrections(tmp_path):
     # c' = dR c + dt
     c_exp = a[:, 1:4] @ np.asarray(dR).T + np.asarray(dt_)
     np.testing.assert_allclose(b[:, 1:4], c_exp, atol=1e-3)
+
+
+def test_map_capacity_growth():
+    """SlamMap grows keyframe/point capacity on demand (long sequences must
+    not crash at the initial caps)."""
+    smap = SlamMap(max_kf=2, max_pt=4, max_feat=4)
+    feats = {"uv": np.zeros((2, 2), np.float32),
+             "level": np.zeros(2, np.int32),
+             "angle": np.zeros(2, np.float32),
+             "desc": np.zeros((2, 256), np.uint8),
+             "valid": np.ones(2, bool)}
+    for k in range(9):
+        kf = smap.add_keyframe(np.eye(3, dtype=np.float32),
+                               np.full(3, float(k), np.float32), feats,
+                               frame_id=k)
+        assert kf == k
+    assert smap.max_kf >= 9 and smap.n_kf == 9
+    assert (smap.kf_parent[smap.n_kf:] == -1).all()
+    assert (smap.kf_feat_pt[: smap.n_kf] == -1).all()
+    np.testing.assert_allclose(smap.kf_t[8], 8.0)
+
+    ids = smap.alloc_points(33)
+    assert smap.max_pt >= 33 and len(ids) == 33
+    smap.pt_xyz[ids] = 1.0
+    smap.bind(0, [0, 1], ids[:2])
+    assert smap.pt_obs[ids[0]] == 1
+
+    # bow index grows alongside
+    from ygz_tpu.backend.bow import BowIndex, Vocabulary
+    voc = Vocabulary(words=np.zeros((8, 256), np.uint8),
+                     groups=np.zeros(8, np.int32),
+                     idf=np.ones(8, np.float32), branching=2, depth=3)
+    bi = BowIndex(voc, max_kf=2)
+    for k in range(7):
+        bi.add_keyframe(k, np.ones(8, np.float32) / 8)
+    assert bi.kf_valid[:7].all() and len(bi.kf_valid) >= 7

@@ -63,3 +63,23 @@ def test_mono_vo_on_textured_surface():
     z = pts[:, 2]
     z_med = np.median(z)
     assert np.mean((z > 0.5 * z_med) & (z < 2.0 * z_med)) > 0.95
+
+
+@pytest.mark.slow
+def test_mono_vo_octree_keypoint_mode():
+    """The ORBSLAM-style octree keypoint mode (TrackerConfig.keypoint_mode=
+    'octree') tracks the same scene end-to-end."""
+    from ygz_tpu.frontend.tracker import TrackerConfig
+
+    scene = SmoothScene(seed=7)
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
+                              scene.w, scene.h)
+    poses = make_trajectory(25)
+    sys = System(cam, Sensor.MONOCULAR,
+                 config=TrackerConfig(keypoint_mode="octree"))
+    states = []
+    for i, (R, t) in enumerate(poses):
+        state, _ = sys.track_monocular(scene.render(R, t), timestamp=i * 0.05)
+        states.append(state)
+    assert states[-1] == "OK", states[-8:]
+    assert sum(s == "OK" for s in states) > 15

@@ -140,6 +140,14 @@ class BowIndex:
         return wid, bow
 
     def add_keyframe(self, kf_id: int, bow, word_mask=None):
+        while kf_id >= len(self.kf_valid):   # grow with the map
+            n, W = self.kf_vec.shape
+            self.kf_vec = np.concatenate(
+                [self.kf_vec, np.zeros((n, W), np.float32)])
+            self.kf_words = np.concatenate(
+                [self.kf_words, np.zeros((n, W), bool)])
+            self.kf_valid = np.concatenate(
+                [self.kf_valid, np.zeros(n, bool)])
         self.kf_vec[kf_id] = bow
         self.kf_words[kf_id] = bow > 0 if word_mask is None else word_mask
         self.kf_valid[kf_id] = True

@@ -211,7 +211,11 @@ class LoopCloser:
         consecutive-KF odometry + the loop edge. Node Sim3 = (R_kw, t_kw, 1).
         """
         K = smap.n_kf
-        assert K <= MAX_PG_NODES
+        if K > MAX_PG_NODES:
+            # essential-graph capacity guard: beyond this the dense pose-
+            # graph solve should move to the sharded path; skip correction
+            # rather than crash (loop detection keeps running)
+            return False
         Rn = smap.kf_R[:K].copy()
         tn = smap.kf_t[:K].copy()
         sn = np.ones(K, np.float32)

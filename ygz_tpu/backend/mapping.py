@@ -83,12 +83,17 @@ def match_epipolar_and_triangulate(descA, uvA, levelA, validA,
 class LocalMapper:
     """Synchronous local mapping over the struct-of-arrays map."""
 
-    def __init__(self, cam, n_levels: int = 4, window: int = 6):
+    def __init__(self, cam, n_levels: int = 4, window: int = 6, mesh=None):
         self.cam = cam
         self.n_levels = n_levels
         self.window = window
         self.K = np.asarray(cam.K)
         self.intr = (cam.fx, cam.fy, cam.cx, cam.cy)
+        # optional jax Mesh: global BA shards its observation axis across it
+        # (parallel/dist_ba.py — the distributed capability the reference
+        # lacks, SURVEY.md §2.4). None = single-device path.
+        self.mesh = mesh
+        self._dist_ba_cache = {}
 
     # ------------------------------------------------------------ triangulate
     def create_new_points(self, smap: SlamMap, kf_new: int, kf_prev: int,
@@ -429,12 +434,18 @@ class LocalMapper:
         obs_is2[:n_o] = 0.25 ** o_lvl
         obs_valid[:n_o] = True
 
-        res = local_bundle_adjustment(
-            jnp.asarray(kfR), jnp.asarray(kft), jnp.asarray(fixed),
-            jnp.asarray(pts), jnp.asarray(ptv),
-            jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
-            jnp.asarray(obs_is2), jnp.asarray(obs_valid),
-            self.intr, n_poses=P, n_points=L, phases=tuple(phases))
+        if self.mesh is not None:
+            res = self._global_ba_dist(kfR, kft, fixed, pts, ptv, obs_p,
+                                       obs_l, obs_uv,
+                                       obs_is2 * obs_valid, P, L,
+                                       iters=sum(phases))
+        else:
+            res = local_bundle_adjustment(
+                jnp.asarray(kfR), jnp.asarray(kft), jnp.asarray(fixed),
+                jnp.asarray(pts), jnp.asarray(ptv),
+                jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
+                jnp.asarray(obs_is2), jnp.asarray(obs_valid),
+                self.intr, n_poses=P, n_points=L, phases=tuple(phases))
         newR = np.asarray(res.kf_R)
         newt = np.asarray(res.kf_t)
         for i, k in enumerate(kfs[:P]):
@@ -442,6 +453,32 @@ class LocalMapper:
                 smap.set_pose(k, newR[i], newt[i])
         smap.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
         smap.sync_ref_poses()
+
+    def _global_ba_dist(self, kfR, kft, fixed, pts, ptv, obs_p, obs_l,
+                        obs_uv, obs_w, P, L, iters: int):
+        """Observation-sharded global BA over self.mesh (one compiled step
+        per (P, L, O) bucket)."""
+        from ..parallel.dist_ba import make_distributed_ba
+
+        n_dev = self.mesh.devices.size
+        O = obs_p.shape[0]
+        O_pad = ((O + n_dev - 1) // n_dev) * n_dev
+        pad = O_pad - O
+
+        def padded(a):
+            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        key = (P, L, O_pad, iters)
+        if key not in self._dist_ba_cache:
+            self._dist_ba_cache[key] = make_distributed_ba(
+                self.mesh, n_poses=P, n_points=L, iters=iters)
+        ba = self._dist_ba_cache[key]
+        return ba(jnp.asarray(kfR), jnp.asarray(kft),
+                  jnp.asarray(~fixed), jnp.asarray(pts), jnp.asarray(ptv),
+                  jnp.asarray(padded(obs_p)), jnp.asarray(padded(obs_l)),
+                  jnp.asarray(padded(obs_uv)),
+                  jnp.asarray(padded(obs_w.astype(np.float32))),
+                  tuple(np.float32(v) for v in self.intr))
 
     # ------------------------------------------------------------------ fuse
     def bind_map_points(self, smap: SlamMap, kf: int, radius: float = 4.0):

@@ -127,11 +127,45 @@ class SlamMap:
         m.n_pt = int(z["n_pt"])
         return m
 
+    # ------------------------------------------------------------------ growth
+    _KF_ARRS = ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
+                "kf_parent", "kf_cull_R", "kf_cull_t", "kf_feat_uv",
+                "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
+                "kf_feat_valid", "kf_feat_pt")
+    _PT_ARRS = ("pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
+                "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
+                "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")
+
+    def _grow_kf(self):
+        """Double keyframe capacity (fixed caps keep jitted shapes static;
+        growth re-allocates the host arrays only — device views are made
+        fresh per call)."""
+        new = self.max_kf * 2
+        for name in self._KF_ARRS:
+            arr = getattr(self, name)
+            pad = np.zeros((new - self.max_kf,) + arr.shape[1:], arr.dtype)
+            if name in ("kf_feat_pt", "kf_parent"):
+                pad[...] = -1
+            setattr(self, name, np.concatenate([arr, pad]))
+        self.kf_pyr = self.kf_pyr + [None] * (new - self.max_kf)
+        self.max_kf = new
+
+    def _grow_pt(self):
+        new = self.max_pt * 2
+        for name in self._PT_ARRS:
+            arr = getattr(self, name)
+            pad = np.zeros((new - self.max_pt,) + arr.shape[1:], arr.dtype)
+            if name == "pt_first_kf":
+                pad[...] = -1
+            setattr(self, name, np.concatenate([arr, pad]))
+        self.max_pt = new
+
     # ---------------------------------------------------------------- keyframes
     def add_keyframe(self, R, t, feats, ts=0.0, frame_id=0,
                      pyramid=None) -> int:
         """feats: dict-like with uv [M,2], level, angle, desc, valid (numpy)."""
-        assert self.n_kf < self.max_kf, "keyframe capacity exhausted"
+        if self.n_kf >= self.max_kf:
+            self._grow_kf()
         k = self.n_kf
         self.n_kf += 1
         self.kf_pyr[k] = pyramid
@@ -198,7 +232,8 @@ class SlamMap:
 
     # ---------------------------------------------------------------- points
     def alloc_points(self, n: int) -> np.ndarray:
-        assert self.n_pt + n <= self.max_pt, "map point capacity exhausted"
+        while self.n_pt + n > self.max_pt:
+            self._grow_pt()
         ids = np.arange(self.n_pt, self.n_pt + n)
         self.n_pt += n
         return ids

@@ -47,7 +47,12 @@ class OrbExtractor:
     def __init__(self, n_features: int = 512, n_levels: int = 4,
                  scale_factor: float = 2.0, fast_th: float = 20.0,
                  fast_th_min: float = 7.0, cell: int = 16,
-                 max_per_cell: int = 3, border: int = 20):
+                 max_per_cell: int = 3, border: int = 20,
+                 mode: str = "grid"):
+        # mode: 'grid' = DSO-style adaptive grid (the reference's direct-path
+        # selector, ComputeKeyPointsDSOSingleLevel); 'octree' = quadtree-
+        # style distribution (DistributeOctTree, the reference's
+        # ORBSLAM_KEYPOINT mode for keyframes/reloc)
         self.n_features = n_features
         self.n_levels = n_levels
         self.scale_factor = scale_factor
@@ -56,6 +61,8 @@ class OrbExtractor:
         self.cell = cell
         self.max_per_cell = max_per_cell
         self.border = border
+        assert mode in ("grid", "octree"), mode
+        self.mode = mode
         self.budgets = level_budgets(n_features, n_levels, scale_factor)
         self.total = sum(self.budgets)
         self._jit = jax.jit(self._extract)
@@ -69,9 +76,13 @@ class OrbExtractor:
         # th=7, src/ORBextractor.cc:1315-1330)
         merged = jnp.where(score > 0, score + 1000.0, score_lo)
         merged = fast.nonmax_3x3(merged)
-        uv, s, valid = select.select_grid_topk(
-            merged, cell=self.cell, max_per_cell=self.max_per_cell,
-            max_kp=budget, border=border, occupancy=occupancy)
+        if self.mode == "octree":
+            uv, s, valid = select.select_octree(
+                merged, max_kp=budget, border=border, occupancy=occupancy)
+        else:
+            uv, s, valid = select.select_grid_topk(
+                merged, cell=self.cell, max_per_cell=self.max_per_cell,
+                max_kp=budget, border=border, occupancy=occupancy)
         ang = orb.ic_angles(img, uv, valid)
         blurred = gaussian_blur(img, 7, 2.0)
         desc = orb.brief_descriptors(blurred, uv, ang, valid)

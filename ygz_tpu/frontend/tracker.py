@@ -46,6 +46,7 @@ class State(enum.Enum):
 @dataclass
 class TrackerConfig:
     n_features: int = 512
+    keypoint_mode: str = "grid"   # 'grid' (DSO selector) | 'octree'
     n_levels: int = 4
     scale_factor: float = 2.0
     fast_th: float = 20.0
@@ -94,7 +95,7 @@ class MonoTracker:
         self.extractor = OrbExtractor(
             n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
             scale_factor=self.cfg.scale_factor, fast_th=self.cfg.fast_th,
-            fast_th_min=self.cfg.fast_th_min)
+            fast_th_min=self.cfg.fast_th_min, mode=self.cfg.keypoint_mode)
         self.map = SlamMap(max_feat=1024)
         self.mapper = LocalMapper(cam, n_levels=self.cfg.n_levels,
                                   window=self.cfg.ba_window)
@@ -639,8 +640,8 @@ class MonoTracker:
             self.mapper.cull_points(smap)
             n_culled = self.mapper.cull_keyframes(smap, kf)
             if n_culled and self.bow_index is not None:
-                self.bow_index.kf_valid[: smap.n_kf] &= \
-                    smap.kf_valid[: smap.n_kf]
+                m = min(len(self.bow_index.kf_valid), smap.n_kf)
+                self.bow_index.kf_valid[:m] &= smap.kf_valid[:m]
 
             # refresh direct patches for ALL points bound to this KF with
             # the POST-BA geometry — stale capture geometry after BA was the

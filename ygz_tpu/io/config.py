@@ -94,6 +94,9 @@ def load_settings(path_or_text: str) -> Settings:
         fast_th=float(get("ORBextractor.iniThFAST", 20)),
         fast_th_min=float(get("ORBextractor.minThFAST", 7)),
         cache_refill_below=int(get("Tracking.CacheFeatures", 150)),
+        kf_min_gap=int(get("Tracking.KFMinGap", 3)),
+        kf_max_gap=int(get("Tracking.KFMaxGap", 30)),
+        keypoint_mode=str(get("ORBextractor.keypointMode", "grid")),
     )
 
     vio = VioSettings(

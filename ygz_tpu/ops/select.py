@@ -84,3 +84,46 @@ def cell_size_for_budget(h: int, w: int, n_features: int) -> int:
     import math
     g = int(math.sqrt(h * w / max(n_features, 1)))
     return max(8, min(64, g))
+
+
+def select_octree(score, max_kp: int, border: int = 20, occupancy=None,
+                  min_score: float = 0.0, levels: int = 3):
+    """Quadtree-style adaptive keypoint distribution
+    (reference ORBextractor::DistributeOctTree, src/ORBextractor.cc:479-720).
+
+    The reference recursively splits cells while nodes < N and keeps the best
+    corner per leaf — guaranteeing spatial coverage while concentrating the
+    budget where texture exists. The static-shaped XLA formulation runs the
+    per-cell-best selection at `levels` dyadic cell sizes coarse->fine:
+    every coarse cell's best corner is kept unconditionally (coverage = the
+    early quadtree levels), then finer levels fill the remaining budget by
+    score (= the deeper splits in textured regions), with already-picked
+    pixels suppressed via the occupancy map between levels.
+
+    Returns (uv [max_kp,2], score [max_kp], valid [max_kp]).
+    """
+    H, W = score.shape
+    c_fine = cell_size_for_budget(H, W, max_kp)
+    uvs, scs, vals = [], [], []
+    occ = occupancy
+    for li in range(levels):
+        cell = c_fine * (2 ** (levels - 1 - li))
+        n_cells = ((H + cell - 1) // cell) * ((W + cell - 1) // cell)
+        uv, s, v = select_grid_topk(score, cell=cell, max_per_cell=1,
+                                    max_kp=min(max_kp, n_cells),
+                                    border=border, occupancy=occ,
+                                    min_score=min_score)
+        # coarser levels outrank any finer score: every covered region
+        # keeps its best corner (the reference keeps the best per leaf
+        # regardless of global ranking)
+        prio = jnp.where(v, s + (levels - 1 - li) * 1e6, -1.0)
+        uvs.append(uv)
+        scs.append(s)
+        vals.append(prio)
+        occ2 = stamp_occupancy(H, W, uv, v, radius=1)
+        occ = occ2 if occ is None else (occ | occ2)
+    uv = jnp.concatenate(uvs)
+    s = jnp.concatenate(scs)
+    prio = jnp.concatenate(vals)
+    top_p, top_i = jax.lax.top_k(prio, max_kp)
+    return uv[top_i], s[top_i], top_p > 0.0

@@ -143,6 +143,27 @@ class System:
                         f"{twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
                         f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
 
+    def save_keyframe_trajectory_navstate(self, path: str):
+        """Mono-VI only: per-keyframe body NavState 'ts px py pz qx qy qz qw
+        vx vy vz bgx bgy bgz bax bay baz' (reference
+        System::SaveKeyFrameTrajectoryNavState, include/System.h:127)."""
+        tr = self.tracker
+        kf_ns = getattr(tr, "_kf_ns", None)
+        if kf_ns is None:
+            raise RuntimeError("NavState trajectory requires the MONO_VI "
+                               "tracker after VINS initialization")
+        smap = tr.map
+        with open(path, "w") as f:
+            for k in sorted(kf_ns):
+                if k >= smap.n_kf or not smap.kf_valid[k]:
+                    continue
+                P, V, R_wb = kf_ns[k]
+                q = np.asarray(rotmat_to_quat(R_wb))  # [w,x,y,z]
+                bg, ba = tr.bg, tr.ba
+                vals = [smap.kf_ts[k], *P, q[1], q[2], q[3], q[0], *V,
+                        *bg, *ba]
+                f.write(" ".join(f"{v:.7f}" for v in vals) + "\n")
+
     @property
     def trajectory(self):
         return self.tracker.trajectory
@@ -189,10 +210,10 @@ class System:
                                idf=z["bow_idf"],
                                branching=int(z["bow_meta"][0]),
                                depth=int(z["bow_meta"][1]))
-            tr.bow_index = BowIndex(vocab, max_kf=tr.map.max_kf)
-            tr.bow_index.kf_vec[...] = z["bow_kf_vec"]
-            tr.bow_index.kf_words[...] = z["bow_kf_words"]
-            tr.bow_index.kf_valid[...] = z["bow_kf_valid"]
+            tr.bow_index = BowIndex(vocab, max_kf=len(z["bow_kf_valid"]))
+            tr.bow_index.kf_vec = np.array(z["bow_kf_vec"])
+            tr.bow_index.kf_words = np.array(z["bow_kf_words"])
+            tr.bow_index.kf_valid = np.array(z["bow_kf_valid"])
             tr.loop_closer = LoopCloser(tr.bow_index, tr.cam)
         tr.mapper = tr.mapper  # unchanged; works on the new arrays
         tr.state = State.LOST  # re-enter via relocalization
