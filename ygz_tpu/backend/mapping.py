@@ -89,6 +89,7 @@ class LocalMapper:
         self.window = window
         self.K = np.asarray(cam.K)
         self.intr = (cam.fx, cam.fy, cam.cx, cam.cy)
+        self.bf = float(getattr(cam, "bf", 0.0))
         # optional jax Mesh: global BA shards its observation axis across it
         # (parallel/dist_ba.py — the distributed capability the reference
         # lacks, SURVEY.md §2.4). None = single-device path.
@@ -313,10 +314,11 @@ class LocalMapper:
         ring = np.argsort(-obs_per_kf)[: max(0, BA_P - len(win))]
         ring = [int(k) for k in ring if obs_per_kf[k] >= 10]
         win = win + ring
-        o_kf, o_pt, o_uv, o_lvl = smap.observations(win, pt_ids)
+        o_kf, o_pt, o_uv, o_lvl, o_ur = smap.observations(win, pt_ids)
         if len(o_kf) > BA_O:
-            o_kf, o_pt, o_uv, o_lvl = (o_kf[:BA_O], o_pt[:BA_O],
-                                       o_uv[:BA_O], o_lvl[:BA_O])
+            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[:BA_O], o_pt[:BA_O],
+                                             o_uv[:BA_O], o_lvl[:BA_O],
+                                             o_ur[:BA_O])
 
         P = BA_P
         n_free = len(win) - len(ring)
@@ -344,12 +346,14 @@ class LocalMapper:
         obs_p = np.zeros(O, np.int32)
         obs_l = np.zeros(O, np.int32)
         obs_uv = np.zeros((O, 2), np.float32)
+        obs_ur = np.full(O, -1.0, np.float32)
         obs_is2 = np.ones(O, np.float32)
         obs_valid = np.zeros(O, bool)
         n_o = len(o_kf)
         obs_p[:n_o] = o_kf
         obs_l[:n_o] = o_pt
         obs_uv[:n_o] = o_uv
+        obs_ur[:n_o] = o_ur
         obs_is2[:n_o] = 0.25 ** o_lvl
         obs_valid[:n_o] = o_kf < P
 
@@ -358,7 +362,8 @@ class LocalMapper:
             jnp.asarray(pts), jnp.asarray(pt_valid),
             jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
             jnp.asarray(obs_is2), jnp.asarray(obs_valid),
-            self.intr, n_poses=P, n_points=L)
+            self.intr, n_poses=P, n_points=L,
+            obs_ur=jnp.asarray(obs_ur), bf=self.bf)
 
         newR = np.asarray(res.kf_R)
         newt = np.asarray(res.kf_t)
@@ -403,11 +408,11 @@ class LocalMapper:
         L = bucket(len(pt_ids), [2048, 4096, 8192, 16384])
         if len(pt_ids) > L:
             pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[:L]]
-        o_kf, o_pt, o_uv, o_lvl = smap.observations(kfs[:P], pt_ids)
+        o_kf, o_pt, o_uv, o_lvl, o_ur = smap.observations(kfs[:P], pt_ids)
         O = bucket(len(o_kf), [8192, 16384, 32768])
         if len(o_kf) > O:
-            o_kf, o_pt, o_uv, o_lvl = (o_kf[:O], o_pt[:O], o_uv[:O],
-                                       o_lvl[:O])
+            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[:O], o_pt[:O], o_uv[:O],
+                                             o_lvl[:O], o_ur[:O])
 
         kfR = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         kft = np.zeros((P, 3), np.float32)
@@ -425,12 +430,14 @@ class LocalMapper:
         obs_p = np.zeros(O, np.int32)
         obs_l = np.zeros(O, np.int32)
         obs_uv = np.zeros((O, 2), np.float32)
+        obs_ur = np.full(O, -1.0, np.float32)
         obs_is2 = np.ones(O, np.float32)
         obs_valid = np.zeros(O, bool)
         n_o = len(o_kf)
         obs_p[:n_o] = o_kf
         obs_l[:n_o] = o_pt
         obs_uv[:n_o] = o_uv
+        obs_ur[:n_o] = o_ur
         obs_is2[:n_o] = 0.25 ** o_lvl
         obs_valid[:n_o] = True
 
@@ -445,7 +452,8 @@ class LocalMapper:
                 jnp.asarray(pts), jnp.asarray(ptv),
                 jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
                 jnp.asarray(obs_is2), jnp.asarray(obs_valid),
-                self.intr, n_poses=P, n_points=L, phases=tuple(phases))
+                self.intr, n_poses=P, n_points=L, phases=tuple(phases),
+                obs_ur=jnp.asarray(obs_ur), bf=self.bf)
         newR = np.asarray(res.kf_R)
         newt = np.asarray(res.kf_t)
         for i, k in enumerate(kfs[:P]):
@@ -456,36 +464,46 @@ class LocalMapper:
 
     def _global_ba_dist(self, kfR, kft, fixed, pts, ptv, obs_p, obs_l,
                         obs_uv, obs_w, P, L, iters: int):
-        """Observation-sharded global BA over self.mesh (one compiled step
-        per (P, L, O) bucket)."""
-        from ..parallel.dist_ba import make_distributed_ba
+        """Landmark-block-sharded global BA over self.mesh (one compiled
+        step per (P, L, O_shard) bucket)."""
+        from ..parallel.dist_ba import (make_distributed_ba,
+                                        partition_obs_by_landmark)
 
         n_dev = self.mesh.devices.size
-        O = obs_p.shape[0]
-        O_pad = ((O + n_dev - 1) // n_dev) * n_dev
-        pad = O_pad - O
+        op, ol, ouv, ow, O_shard = partition_obs_by_landmark(
+            obs_p, obs_l, obs_uv, obs_w.astype(np.float32), L, n_dev)
 
-        def padded(a):
-            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        def bucket(n, opts):
+            for o in opts:
+                if n <= o:
+                    return o
+            return opts[-1]
 
-        key = (P, L, O_pad, iters)
+        Ob = bucket(O_shard, [1024, 2048, 4096, 8192, 16384, 32768])
+        if Ob != O_shard:
+            op, ol, ouv, ow, O_shard = partition_obs_by_landmark(
+                obs_p, obs_l, obs_uv, obs_w.astype(np.float32), L, n_dev,
+                pad_to=Ob)
+
+        key = (P, L, O_shard, iters)
         if key not in self._dist_ba_cache:
             self._dist_ba_cache[key] = make_distributed_ba(
                 self.mesh, n_poses=P, n_points=L, iters=iters)
         ba = self._dist_ba_cache[key]
         return ba(jnp.asarray(kfR), jnp.asarray(kft),
                   jnp.asarray(~fixed), jnp.asarray(pts), jnp.asarray(ptv),
-                  jnp.asarray(padded(obs_p)), jnp.asarray(padded(obs_l)),
-                  jnp.asarray(padded(obs_uv)),
-                  jnp.asarray(padded(obs_w.astype(np.float32))),
+                  jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+                  jnp.asarray(ow),
                   tuple(np.float32(v) for v in self.intr))
 
     # ------------------------------------------------------------------ fuse
     def bind_map_points(self, smap: SlamMap, kf: int, radius: float = 4.0):
-        """Project local-map points into the new KF and bind matches to its
-        unbound features (the observation-growing role of the reference's
-        SearchInNeighbors/Fuse, src/LocalMapping.cc:1228-1326). More
-        observations per point = stronger BA depth estimates."""
+        """Project local-map points into the new KF; bind matches on unbound
+        features and FUSE duplicates on bound ones — when a projected point
+        lands on a feature already bound to a different landmark, the point
+        with fewer observations is merged into the stronger (reference
+        SearchInNeighbors -> ORBmatcher::Fuse src/ORBmatcher.cc:748-886 +
+        MapPoint::Replace src/MapPoint.cc:155)."""
         win = smap.local_window(kf, self.window + 4)
         pts = smap.points_in_kfs([k for k in win if k != kf])
         bound_here = smap.kf_feat_pt[kf]
@@ -515,10 +533,10 @@ class LocalMapper:
         descA[:n] = smap.pt_desc[pts[:n]]
         uvA[:n] = uv[:n]
         vA[:n] = True
-        unbound = smap.kf_feat_valid[kf] & (smap.kf_feat_pt[kf] < 0)
         idx, ok = matching.match_with_windows(
             jnp.asarray(descA), jnp.asarray(vA),
-            jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(unbound),
+            jnp.asarray(smap.kf_feat_desc[kf]),
+            jnp.asarray(smap.kf_feat_valid[kf]),
             uv_pred1=jnp.asarray(uvA),
             uv2=jnp.asarray(smap.kf_feat_uv[kf]), radius=radius,
             max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
@@ -527,18 +545,34 @@ class LocalMapper:
         rows = np.nonzero(ok)[0]
         if len(rows) == 0:
             return 0
-        smap.bind(kf, idx[rows], pts[rows])
+        slot_pt = smap.kf_feat_pt[kf, idx[rows]]
+        fresh = slot_pt < 0
+        smap.bind(kf, idx[rows][fresh], pts[rows][fresh])
+        # duplicates: merge weaker into stronger
+        for r in np.nonzero(~fresh)[0]:
+            a = int(pts[rows[r]])       # projected local-map point
+            b = int(slot_pt[r])         # point already bound at the feature
+            if a == b or not (smap.pt_valid[a] and smap.pt_valid[b]):
+                continue
+            keep, drop = (a, b) if smap.pt_obs[a] >= smap.pt_obs[b] \
+                else (b, a)
+            smap.replace_point(drop, keep)
         return len(rows)
 
     # ---------------------------------------------------------------- culling
-    def cull_keyframes(self, smap: SlamMap, kf: int, min_id_gap: int = 3):
+    def cull_keyframes(self, smap: SlamMap, kf: int, min_id_gap: int = 3,
+                       protect=None):
         """Cull redundant covisible KFs: >=90% of a KF's points observed by
         >=3 other keyframes (reference KeyFrameCulling,
-        src/LocalMapping.cc:1419-1500). The newest KFs and KF0 are kept."""
+        src/LocalMapping.cc:1419-1500). The newest KFs and KF0 are kept;
+        `protect` is an optional set of KF ids that must survive (the VIO
+        guards: direct prev-KF + KFs within 0.15 s, :1440-1450)."""
         win = smap.local_window(kf, self.window + 4)
         culled = 0
         for k in win:
             if k == kf or k == 0 or k >= smap.n_kf - min_id_gap:
+                continue
+            if protect is not None and k in protect:
                 continue
             if not smap.kf_valid[k]:
                 continue

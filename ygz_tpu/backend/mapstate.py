@@ -54,6 +54,10 @@ class SlamMap:
         self.kf_feat_angle = np.zeros((max_kf, max_feat), np.float32)
         self.kf_feat_valid = np.zeros((max_kf, max_feat), bool)
         self.kf_feat_pt = np.full((max_kf, max_feat), -1, np.int64)
+        # right-image u coordinate of stereo/RGB-D observations (the
+        # reference's mvuRight, src/Frame.cc:509-701); -1 = monocular. BA and
+        # pose optimization turn these into 3-D (u,v,u_r) edges.
+        self.kf_feat_ur = np.full((max_kf, max_feat), -1.0, np.float32)
 
         self.pt_xyz = np.zeros((max_pt, 3), np.float32)
         self.pt_valid = np.zeros(max_pt, bool)
@@ -96,7 +100,7 @@ class SlamMap:
     _SAVED = ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
               "kf_parent", "kf_cull_R", "kf_cull_t",
               "kf_feat_uv", "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
-              "kf_feat_valid", "kf_feat_pt",
+              "kf_feat_valid", "kf_feat_pt", "kf_feat_ur",
               "pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
               "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
               "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")
@@ -122,7 +126,8 @@ class SlamMap:
         mk, mp, mf = (int(v) for v in z["caps"])
         m = cls(max_kf=mk, max_pt=mp, max_feat=mf)
         for k in cls._SAVED:
-            getattr(m, k)[...] = z[k]
+            if k in z:  # tolerate maps saved before a field existed
+                getattr(m, k)[...] = z[k]
         m.n_kf = int(z["n_kf"])
         m.n_pt = int(z["n_pt"])
         return m
@@ -131,7 +136,7 @@ class SlamMap:
     _KF_ARRS = ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
                 "kf_parent", "kf_cull_R", "kf_cull_t", "kf_feat_uv",
                 "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
-                "kf_feat_valid", "kf_feat_pt")
+                "kf_feat_valid", "kf_feat_pt", "kf_feat_ur")
     _PT_ARRS = ("pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
                 "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
                 "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")
@@ -144,7 +149,7 @@ class SlamMap:
         for name in self._KF_ARRS:
             arr = getattr(self, name)
             pad = np.zeros((new - self.max_kf,) + arr.shape[1:], arr.dtype)
-            if name in ("kf_feat_pt", "kf_parent"):
+            if name in ("kf_feat_pt", "kf_parent", "kf_feat_ur"):
                 pad[...] = -1
             setattr(self, name, np.concatenate([arr, pad]))
         self.kf_pyr = self.kf_pyr + [None] * (new - self.max_kf)
@@ -180,6 +185,8 @@ class SlamMap:
         self.kf_feat_desc[k, :m] = feats["desc"][:m]
         self.kf_feat_angle[k, :m] = feats["angle"][:m]
         self.kf_feat_valid[k, :m] = feats["valid"][:m]
+        if "ur" in feats:
+            self.kf_feat_ur[k, :m] = feats["ur"][:m]
         return k
 
     def set_pose(self, k, R, t):
@@ -248,6 +255,29 @@ class SlamMap:
         np.add.at(self.pt_obs, pt_ids[newly & (pt_ids >= 0)], 1)
         np.add.at(self.pt_obs, old[newly & (old >= 0)], -1)
 
+    def replace_point(self, old: int, new: int):
+        """Merge duplicate landmarks: rebind every observation of `old` onto
+        `new` and kill `old` (reference MapPoint::Replace,
+        src/MapPoint.cc:155). A keyframe keeps at most one binding per point:
+        where a KF already observes `new`, the old observation is dropped.
+        Track statistics accumulate so found-ratio culling stays fair."""
+        if old == new:
+            return
+        sel = self.kf_feat_pt[: self.n_kf] == old
+        has_new = (self.kf_feat_pt[: self.n_kf] == new).any(axis=1)
+        for k in np.nonzero(sel.any(axis=1))[0]:
+            slots = np.nonzero(sel[k])[0]
+            if has_new[k]:
+                self.kf_feat_pt[k, slots] = -1
+            else:
+                self.kf_feat_pt[k, slots[0]] = new
+                self.kf_feat_pt[k, slots[1:]] = -1
+                self.pt_obs[new] += 1
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        self.pt_valid[old] = False
+        self.pt_obs[old] = 0
+
     def kill_points(self, pt_ids):
         """Cull map points: invalidate + unbind everywhere."""
         pt_ids = np.asarray(pt_ids)
@@ -271,6 +301,21 @@ class SlamMap:
         counts[kf] = 0
         return counts
 
+    def covisibility_matrix(self):
+        """[n_kf, n_kf] shared-point counts for ALL keyframe pairs — the
+        batched form of per-KF UpdateConnections (src/KeyFrame.cc:493),
+        used to build the essential graph's covisibility edges in one shot."""
+        K = self.n_kf
+        binds = self.kf_feat_pt[:K]
+        kk, ss = np.nonzero(binds >= 0)
+        pids = binds[kk, ss]
+        uniq, inv = np.unique(pids, return_inverse=True)
+        inc = np.zeros((K, len(uniq)), np.float32)
+        inc[kk, inv] = 1.0
+        C = inc @ inc.T
+        np.fill_diagonal(C, 0)
+        return C.astype(np.int64)
+
     def local_window(self, kf: int, size: int):
         """KF ids of the covisibility-ranked local window including `kf`."""
         cov = self.covisibility(kf)
@@ -287,13 +332,14 @@ class SlamMap:
     def observations(self, kf_ids, pt_ids):
         """Observation table restricted to (kf_ids x pt_ids).
 
-        Returns (obs_kf_local, obs_pt_local, obs_uv, obs_level) with local
-        indices into kf_ids / pt_ids.
+        Returns (obs_kf_local, obs_pt_local, obs_uv, obs_level, obs_ur) with
+        local indices into kf_ids / pt_ids; obs_ur is the right-image u
+        coordinate (-1 for monocular observations).
         """
         kf_ids = np.asarray(kf_ids)
         pt_map = np.full(self.max_pt, -1, np.int64)
         pt_map[pt_ids] = np.arange(len(pt_ids))
-        o_kf, o_pt, o_uv, o_lvl = [], [], [], []
+        o_kf, o_pt, o_uv, o_lvl, o_ur = [], [], [], [], []
         for loc, k in enumerate(kf_ids):
             binds = self.kf_feat_pt[k]
             slots = np.nonzero(binds >= 0)[0]
@@ -305,5 +351,7 @@ class SlamMap:
             o_pt.append(lp.astype(np.int32))
             o_uv.append(self.kf_feat_uv[k, slots])
             o_lvl.append(self.kf_feat_level[k, slots])
+            o_ur.append(self.kf_feat_ur[k, slots])
         return (np.concatenate(o_kf), np.concatenate(o_pt),
-                np.concatenate(o_uv), np.concatenate(o_lvl))
+                np.concatenate(o_uv), np.concatenate(o_lvl),
+                np.concatenate(o_ur))

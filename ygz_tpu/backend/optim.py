@@ -62,6 +62,37 @@ _vmapped_rj = jax.vmap(_reproj_residual_jac,
                        in_axes=(0, 0, 0, 0, None, None, None, None))
 
 
+def _reproj_residual_jac3(R, t, X, uv, ur, bf, fx, fy, cx, cy):
+    """Stereo-capable residual: rows (u, v, u_r) with u_r = u - bf/z (the
+    reference's 3-D stereo edge, src/Optimizer.cc:1579,1738). Observations
+    with ur < 0 are monocular: the third row is zeroed so they contribute
+    exactly the 2-D residual."""
+    Xc = R @ X + t
+    x, y, z = Xc[0], Xc[1], Xc[2]
+    zc = jnp.maximum(z, 1e-6)
+    zi = 1.0 / zc
+    u = fx * x * zi + cx
+    v = fy * y * zi + cy
+    has = (ur >= 0).astype(jnp.float32)
+    r = jnp.stack([u - uv[0], v - uv[1], has * (u - bf * zi - ur)])
+    row_u = jnp.stack([fx * zi, 0.0 * zi, -fx * x * zi * zi])
+    row_v = jnp.stack([0.0 * zi, fy * zi, -fy * y * zi * zi])
+    row_r = (row_u + jnp.stack([0.0 * zi, 0.0 * zi, bf * zi * zi])) * has
+    dpi = jnp.stack([row_u, row_v, row_r])               # [3,3] d(r)/d(Xc)
+    Xhat = jnp.stack([
+        jnp.stack([0.0 * z, -z, y]),
+        jnp.stack([z, 0.0 * z, -x]),
+        jnp.stack([-y, x, 0.0 * z]),
+    ])
+    A = jnp.concatenate([dpi, -(dpi @ Xhat)], axis=1)    # [3,6]
+    B = dpi @ R                                          # [3,3]
+    return r, A, B, z
+
+
+_vmapped_rj3 = jax.vmap(_reproj_residual_jac3,
+                        in_axes=(0, 0, 0, 0, 0, None, None, None, None, None))
+
+
 def _huber_weight(chi2, delta2):
     """Huber IRLS weight as a function of the squared error (chi2)."""
     return jnp.where(chi2 <= delta2, 1.0,
@@ -165,29 +196,36 @@ class PoseOptResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
 def pose_optimization(X, uv, inv_sigma2, valid, R0, t0, intr,
                       rounds: int = 4, iters_per_round: int = 10,
-                      chi2_th: float = CHI2_MONO):
+                      chi2_th: float = CHI2_MONO, ur=None, bf=0.0):
     """Pose-only batched GN with staged outlier gating.
 
     X: [N,3] world points; uv: [N,2] observations; inv_sigma2: [N] per-octave
     information; valid: [N]; (R0,t0): initial world->cam pose.
+    ur: optional [N] right-image u coordinate (stereo/RGB-D observations;
+    -1 = mono). Stereo rows gate at chi2 7.815, mono at `chi2_th` (reference
+    PoseOptimization mono/stereo edge split, src/Optimizer.cc:1656-1843).
     """
     fx, fy, cx, cy = intr
     N = X.shape[0]
-    delta2 = chi2_th  # Huber delta^2 = chi2 threshold (reference: sqrt(5.991))
+    if ur is None:
+        ur = jnp.full((N,), -1.0, jnp.float32)
+    # per-observation gates: stereo 3-D edges use the 3-DoF chi2 threshold
+    th_obs = jnp.where(ur >= 0, CHI2_STEREO * chi2_th / CHI2_MONO, chi2_th)
+    delta2 = th_obs  # Huber delta^2 = chi2 threshold (reference: sqrt(5.991))
 
     def chi2_of(R, t, inl):
-        r, _, _, z = _vmapped_rj(jnp.broadcast_to(R, (N, 3, 3)),
-                                 jnp.broadcast_to(t, (N, 3)), X, uv,
-                                 fx, fy, cx, cy)
+        r, _, _, z = _vmapped_rj3(jnp.broadcast_to(R, (N, 3, 3)),
+                                  jnp.broadcast_to(t, (N, 3)), X, uv, ur,
+                                  bf, fx, fy, cx, cy)
         c2 = jnp.sum(r * r, axis=1) * inv_sigma2
         return c2, z
 
     def gn_round(R, t, inliers, use_huber):
         def body(_, state):
             R, t = state
-            r, A, _, z = _vmapped_rj(jnp.broadcast_to(R, (N, 3, 3)),
-                                     jnp.broadcast_to(t, (N, 3)), X, uv,
-                                     fx, fy, cx, cy)
+            r, A, _, z = _vmapped_rj3(jnp.broadcast_to(R, (N, 3, 3)),
+                                      jnp.broadcast_to(t, (N, 3)), X, uv, ur,
+                                      bf, fx, fy, cx, cy)
             c2 = jnp.sum(r * r, axis=1) * inv_sigma2
             w = inv_sigma2 * inliers.astype(jnp.float32) * (z > 0.0)
             if use_huber:
@@ -207,7 +245,7 @@ def pose_optimization(X, uv, inv_sigma2, valid, R0, t0, intr,
         use_huber = rd < rounds - 2  # last two rounds: plain LSQ on inliers
         R, t = gn_round(R, t, inliers, use_huber)
         c2, z = chi2_of(R, t, inliers)
-        inliers = valid & (c2 < chi2_th) & (z > 0.0)
+        inliers = valid & (c2 < th_obs) & (z > 0.0)
 
     c2, _ = chi2_of(R, t, inliers)
     return PoseOptResult(R=R, t=t, inliers=inliers,
@@ -236,30 +274,35 @@ def local_bundle_adjustment(kf_R, kf_t, fixed, points, pt_valid,
                             obs_p, obs_l, obs_uv, obs_inv_sigma2, obs_valid,
                             intr, n_poses: int, n_points: int,
                             phases=(5, 10), chi2_th: float = CHI2_MONO,
-                            damping: float = 1e-3):
+                            damping: float = 1e-3, obs_ur=None, bf=0.0):
     """Local BA: joint poses+points GN with Schur complement.
 
     kf_R/kf_t: [P,..] poses (world->cam); fixed: [P] bool (True = anchor).
     points: [L,3]; obs_*: [O] observation table (pose idx, point idx, pixel,
-    information, validity).
+    information, validity). obs_ur: optional [O] right-image u (stereo 3-D
+    edges at chi2 7.815, -1 = mono — reference src/Optimizer.cc:1579,1738).
     phases: iteration counts; between phases observations with chi2 > th are
     dropped (reference 5 + 10, src/Optimizer.cc:2031-2068).
     """
     fx, fy, cx, cy = intr
     P, L = n_poses, n_points
     O = obs_p.shape[0]
-    delta2 = chi2_th
+    if obs_ur is None:
+        obs_ur = jnp.full((O,), -1.0, jnp.float32)
+    th_obs = jnp.where(obs_ur >= 0, CHI2_STEREO * chi2_th / CHI2_MONO,
+                       chi2_th)
+    delta2 = th_obs
     free = (~fixed).astype(jnp.float32)
 
     def chi2_all(kf_R, kf_t, points):
-        r, _, _, z = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], points[obs_l],
-                                 obs_uv, fx, fy, cx, cy)
+        r, _, _, z = _vmapped_rj3(kf_R[obs_p], kf_t[obs_p], points[obs_l],
+                                  obs_uv, obs_ur, bf, fx, fy, cx, cy)
         return jnp.sum(r * r, axis=1) * obs_inv_sigma2, z
 
     def one_iter(state, _):
         kf_R, kf_t, points, inlier, lam = state
-        r, A, B, z = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], points[obs_l],
-                                 obs_uv, fx, fy, cx, cy)
+        r, A, B, z = _vmapped_rj3(kf_R[obs_p], kf_t[obs_p], points[obs_l],
+                                  obs_uv, obs_ur, bf, fx, fy, cx, cy)
         c2 = jnp.sum(r * r, axis=1) * obs_inv_sigma2
         w = (obs_inv_sigma2 * inlier.astype(jnp.float32) * (z > 0.0)
              * _huber_weight(c2, delta2))
@@ -331,7 +374,7 @@ def local_bundle_adjustment(kf_R, kf_t, fixed, points, pt_valid,
         (kf_R, kf_t, points, inlier, lam), _ = jax.lax.scan(
             one_iter, (kf_R, kf_t, points, inlier, lam), None, length=it_count)
         c2, z = chi2_all(kf_R, kf_t, points)
-        inlier = inlier & (c2 < chi2_th) & (z > 0.0)
+        inlier = inlier & (c2 < th_obs) & (z > 0.0)
 
     c2, _ = chi2_all(kf_R, kf_t, points)
     total = jnp.sum(jnp.where(inlier, c2, 0.0))

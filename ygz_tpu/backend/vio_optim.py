@@ -300,9 +300,16 @@ def vio_pose_optimization_pair(cur, prev, pre: PreintState, bias_lin,
         inlp = (validp & (c2p < CHI2_MONO) & (zp > 0.1)).astype(jnp.float32)
         inlc = (validc & (c2c < CHI2_MONO) & (zc > 0.1)).astype(jnp.float32)
 
-    # posterior information and Schur marginalization of the previous state
+    # posterior information and Schur marginalization of the previous state.
+    # The CURRENT frame's reprojection factors are EXCLUDED from the
+    # marginal (inlc=0): the caller re-adds exactly those landmark
+    # observations as the next step's previous-frame edges, so keeping them
+    # in the carried prior would double-count vision information (the
+    # round-1 prior_forget=0.2 discount was a band-aid for this; see
+    # VERDICT "VIO prior forgetting hack"). The prior therefore carries
+    # history + IMU + previous-frame vision, each counted once.
     z30 = jnp.zeros(30)
-    Jf = jax.jacfwd(residuals)(z30, sp, sc, inlp, inlc,
+    Jf = jax.jacfwd(residuals)(z30, sp, sc, inlp, jnp.zeros(Nc),
                                jnp.ones(Np), jnp.ones(Nc))
     H = Jf.T @ Jf
     Hpp = H[:15, :15] + 1e-6 * jnp.eye(15)
@@ -424,9 +431,7 @@ def vio_window_ba(P, V, R, bg, ba, fixed,
     free = (~fixed).astype(jnp.float32)
     delta2 = CHI2_MONO
 
-    def body(state, _):
-        P, V, R, bg, ba, points = state
-        # --- IMU chain factors (W-1 pairs) ---
+    def imu_residuals(P, V, R, bg, ba):
         ii = jnp.arange(W - 1)
         jj = ii + 1
         r_imu, Ji, Jj = _imu_pair_rj(
@@ -440,6 +445,28 @@ def vio_window_ba(P, V, R, bg, ba, fixed,
             r_imu = r_imu * link_w[:, None]
             Ji = Ji * link_w[:, None, None]
             Jj = Jj * link_w[:, None, None]
+        return r_imu, Ji, Jj
+
+    def total_chi2(P, V, R, bg, ba, points):
+        """Robustified objective for step acceptance (the visual BA gates
+        the same way; a rejected VIO step must not write into the map)."""
+        r_imu, _, _ = imu_residuals(P, V, R, bg, ba)
+        r_uv = jax.vmap(
+            lambda Pk, Rk, X, uv: _reproj_ns(
+                jnp.zeros(15), jnp.zeros(3), Pk, Rk, X, uv, Rcb, tcb,
+                fx, fy, cx, cy))(P[obs_k], R[obs_k], points[obs_l], obs_uv)
+        c2 = jnp.sum(r_uv * r_uv, axis=1) * obs_w
+        rob = jnp.where(c2 <= delta2, c2,
+                        2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 1e-12))
+                        - delta2)
+        return jnp.sum(rob) + jnp.sum(r_imu * r_imu)
+
+    def body(state, _):
+        P, V, R, bg, ba, points, lam = state
+        # --- IMU chain factors (W-1 pairs) ---
+        ii = jnp.arange(W - 1)
+        jj = ii + 1
+        r_imu, Ji, Jj = imu_residuals(P, V, R, bg, ba)
         # --- reprojection factors ---
         r_uv, A, B = _reproj_ns_rj(P[obs_k], R[obs_k], points[obs_l], obs_uv,
                                    Rcb, tcb, fx, fy, cx, cy)
@@ -456,7 +483,6 @@ def vio_window_ba(P, V, R, bg, ba, fixed,
         bl = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Bw, r_uv), obs_l, L)
         M = jax.ops.segment_sum(Wb, obs_l * W + obs_k, L * W).reshape(L, W, 15, 3)
 
-        lam = 1e-4
         Vl = Vl + lam * jnp.eye(3)[None]
         Vinv = jnp.linalg.inv(Vl)
         T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
@@ -495,11 +521,26 @@ def vio_window_ba(P, V, R, bg, ba, fixed,
                                                             0))(
             (P, V, R, bg, ba), dp)
         P2, V2, R2, bg2, ba2 = news
-        chi2 = jnp.sum(c2 * (w > 0)) + jnp.sum(r_imu * r_imu)
-        return (P2, V2, R2, bg2, ba2, points + dl), chi2
+        pts2 = points + dl
 
-    state = (P, V, R, bg, ba, points)
+        # chi2-gated accept/rollback + LM damping adaptation: a bad
+        # iteration must not write into the map (the round-1 fixed-lam
+        # version had no step control — VERDICT "what's weak")
+        old = total_chi2(P, V, R, bg, ba, points)
+        new = total_chi2(P2, V2, R2, bg2, ba2, pts2)
+        acc = new < old
+
+        def sel(a, b):
+            return jnp.where(acc, a, b)
+
+        state2 = (sel(P2, P), sel(V2, V),
+                  jnp.where(acc, R2, R), sel(bg2, bg), sel(ba2, ba),
+                  sel(pts2, points),
+                  jnp.clip(jnp.where(acc, lam * 0.5, lam * 8.0), 1e-6, 1e2))
+        return state2, jnp.where(acc, new, old)
+
+    state = (P, V, R, bg, ba, points, jnp.asarray(1e-4, jnp.float32))
     state, chis = jax.lax.scan(body, state, None, length=iters)
-    P, V, R, bg, ba, points = state
+    P, V, R, bg, ba, points, _ = state
     return VioBAResult(P=P, V=V, R=R, bg=bg, ba=ba, points=points,
                        total_chi2=chis[-1])

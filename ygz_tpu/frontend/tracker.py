@@ -27,6 +27,7 @@ from ..backend.mapstate import SlamMap
 from ..backend.mapping import LocalMapper
 from ..backend.bow import train_vocabulary, BowIndex
 from ..backend.loopclosing import LoopCloser
+from ..backend.optim import pose_optimization
 from ..backend.pnp import pnp_ransac
 from ..geometry import camera as cam_mod
 from ..geometry.twoview import two_view_reconstruct
@@ -59,11 +60,20 @@ class TrackerConfig:
     kf_ratio: float = 0.75        # c2: inliers < 0.75 * ref-KF tracked
     kf_min_gap: int = 3           # min frames between KFs
     kf_max_gap: int = 30          # force KF after this many frames
+    th_depth: float = 35.0        # close/far split in baseline units
+    #                               (mThDepth = bf/fx * ThDepth, reference
+    #                               src/Tracking.cc:252-258)
     ba_window: int = 6
     enable_loop_closing: bool = True
     enable_relocalization: bool = True
     vocab_branching: int = 8
     vocab_depth: int = 3
+    # "auto": load the shipped offline vocabulary (ygz_tpu/data/
+    # orb_vocab.npz, k=10 L=4 ~ 10^4 words — the analog of the reference
+    # loading ORBvoc.bin at startup, src/System.cc:186-191) when present,
+    # else train in-system on the init descriptors. A path loads that file;
+    # None forces in-system training.
+    vocab_path: Optional[str] = "auto"
     # run the mapping tail (triangulation, fusion, BA, culling, loop
     # closing) on a background thread — the async counterpart of the
     # reference's LocalMapping thread. Tracking then returns the pre-BA
@@ -251,6 +261,22 @@ class MonoTracker:
             Rk, tk = self.map.resolve_pose(rec.ref_kf)
         return rec.R_r @ Rk, rec.R_r @ tk + rec.t_r
 
+    def _build_vocabulary(self, desc, doc_ids=None):
+        """Vocabulary source dispatch (see TrackerConfig.vocab_path): load
+        the shipped offline vocabulary or train in-system on `desc`."""
+        import os
+        from ..backend.bow import (load_vocabulary, default_vocabulary_path,
+                                   train_vocabulary)
+        path = self.cfg.vocab_path
+        if path == "auto":
+            p = default_vocabulary_path()
+            if os.path.exists(p):
+                return load_vocabulary(p)
+        elif path:
+            return load_vocabulary(path)
+        return train_vocabulary(desc, branching=self.cfg.vocab_branching,
+                                depth=self.cfg.vocab_depth, doc_ids=doc_ids)
+
     @staticmethod
     def _feats_to_dict(feats):
         f = jax.tree.map(np.asarray, feats)
@@ -340,9 +366,8 @@ class MonoTracker:
         smap.kf_t[:2] /= med2
         self.mapper.refresh_patches(smap, kf1, pyr1, ids, slots1)
 
-        # train the place-recognition vocabulary on the initial descriptors
-        # (the reference ships an offline 1M-word ORBvoc; we train in-system
-        # on the engine's own BRIEF pattern — small but self-consistent)
+        # place-recognition vocabulary: shipped offline vocab when present,
+        # in-system training on the initial descriptors as fallback
         if self.cfg.enable_loop_closing or self.cfg.enable_relocalization:
             desc = np.concatenate([
                 f0["desc"][f0["valid"]],
@@ -350,8 +375,7 @@ class MonoTracker:
             doc = np.concatenate([
                 np.zeros(int(f0["valid"].sum()), np.int64),
                 np.ones(int(np.asarray(feats1.valid).sum()), np.int64)])
-            vocab = train_vocabulary(desc, branching=self.cfg.vocab_branching,
-                                    depth=self.cfg.vocab_depth, doc_ids=doc)
+            vocab = self._build_vocabulary(desc, doc)
             self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
             self.loop_closer = LoopCloser(self.bow_index, self.cam)
             for k in (kf0, kf1):
@@ -455,27 +479,38 @@ class MonoTracker:
         np.add.at(smap.pt_visible, ids[visible], 1)
         np.add.at(smap.pt_found, ids[tracked], 1)
 
+        t_ids, t_uv, t_lvl = ids[tracked], uv[tracked], lvl[tracked]
+        R_cur, t_cur = self._pose_np(dres.R, dres.t)
+
         if n_inliers < cfg.min_track_inliers:
-            if self._on_vision_failed(pyr, ts, R_pred, t_pred):
+            # feature-method fallback ladder (reference Tracking.cc:563-577:
+            # direct local-map failure -> re-extract features -> motion
+            # model -> ref-KF -> feature TrackLocalMap; only then LOST)
+            fb = self._feature_fallback(pyr, R_pred, t_pred)
+            if fb is not None:
+                R_cur, t_cur, t_ids, t_uv, t_lvl = fb
+                n_inliers = len(t_ids)
+                self.debug["n_inliers_feat"] = n_inliers
+                np.add.at(smap.pt_found, t_ids, 1)
+                np.add.at(smap.pt_visible, t_ids, 1)
+            elif self._on_vision_failed(pyr, ts, R_pred, t_pred):
                 # IMU-only fallback kept the state alive (vision-weak mode,
                 # reference src/Tracking.cc:684-698)
                 self._set_last_frame(pyr, R_pred, t_pred, cache_uv=None)
                 return True, R_pred, t_pred
-            last_R = self._last_R
-            last_t = self._last_t
-            self.state = State.LOST
-            # reset-on-early-loss: a map of <=5 KFs is not worth relocalizing
-            # against (reference src/Tracking.cc:703-711)
-            if smap.n_kf <= 5 and not self.localization_only:
-                self.reset()
-                self.state = State.NOT_INITIALIZED
-            return False, last_R, last_t
-
-        R_cur, t_cur = self._pose_np(dres.R, dres.t)
+            else:
+                last_R = self._last_R
+                last_t = self._last_t
+                self.state = State.LOST
+                # reset-on-early-loss: a map of <=5 KFs is not worth
+                # relocalizing against (reference src/Tracking.cc:703-711)
+                if smap.n_kf <= 5 and not self.localization_only:
+                    self.reset()
+                    self.state = State.NOT_INITIALIZED
+                return False, last_R, last_t
         # sensor-fusion hook (mono-VI: NavState optimization with the
         # tracked observations + preintegration factor)
-        fused = self._fuse_pose(R_cur, t_cur, ids[tracked], uv[tracked],
-                                lvl[tracked])
+        fused = self._fuse_pose(R_cur, t_cur, t_ids, t_uv, t_lvl)
         if fused is not None:
             R_cur, t_cur = fused
         self.state = State.OK
@@ -495,23 +530,54 @@ class MonoTracker:
         # points — our cache rebuild at KFs plays that role).
 
         # ---- keyframe decision -------------------------------------------
-        gap = self.frame_id - self._last_kf_frame
-        need_kf = (not self.localization_only
-                   and gap >= cfg.kf_min_gap
-                   and (n_inliers < cfg.kf_ratio * self._kf_ref_tracked
-                        or gap >= cfg.kf_max_gap
-                        or n_inliers < 50))
+        need_kf = self._need_new_keyframe(ts, n_inliers, t_ids, R_cur, t_cur)
         if need_kf:
             R_ba, t_ba = self._create_keyframe(pyr, ts, R_cur, t_cur,
-                                               ids[tracked], uv[tracked],
-                                               lvl[tracked])
+                                               t_ids, t_uv, t_lvl)
             # adopt the BA-corrected pose for this frame
             R_cur, t_cur = R_ba, t_ba
 
         # ---- record last-frame state for next sparse align ----------------
-        self._set_last_frame(pyr, R_cur, t_cur,
-                             cache_uv=(ids[tracked], uv[tracked]))
+        self._set_last_frame(pyr, R_cur, t_cur, cache_uv=(t_ids, t_uv))
         return True, R_cur, t_cur
+
+    def _need_new_keyframe(self, ts, n_inliers, t_ids, R_cur, t_cur) -> bool:
+        """Keyframe decision (reference NeedNewKeyFrame,
+        src/Tracking.cc:1402-1525): c1a = long gap; c1b = min gap AND mapper
+        idle; c1c = weak tracking or close-point starvation (stereo/RGB-D);
+        c2 = tracked fraction below kf_ratio of the reference KF. The IMU
+        cTimeGap (>0.5 s) is added by the mono-VI subclass."""
+        cfg = self.cfg
+        if self.localization_only:
+            return False
+        gap = self.frame_id - self._last_kf_frame
+        if gap < cfg.kf_min_gap:
+            return False
+        if gap >= cfg.kf_max_gap:               # c1a: hard cap
+            return True
+        mapper_idle = self._map_worker is None or self._map_queue.empty()
+        if self._kf_time_gap(ts) and mapper_idle:   # cTimeGap (VIO)
+            return True
+        c1b = mapper_idle
+        c1c = (n_inliers < 50
+               or self._need_close_points(t_ids, R_cur, t_cur))
+        c2 = (n_inliers < cfg.kf_ratio * self._kf_ref_tracked
+              or n_inliers < 50)
+        return (c1b or c1c) and c2
+
+    def _need_close_points(self, t_ids, R_cur, t_cur,
+                           min_close: int = 100) -> bool:
+        """Stereo/RGB-D c1c term: too few tracked close points (z < ThDepth)
+        — a new KF would seed fresh close points from depth (reference
+        src/Tracking.cc:1445-1460)."""
+        if not self._depth_source_available() or len(t_ids) == 0:
+            return False
+        Xc = self.map.pt_xyz[t_ids] @ np.asarray(R_cur).T + np.asarray(t_cur)
+        return int((Xc[:, 2] < self._th_depth()).sum()) < min_close
+
+    def _kf_time_gap(self, ts) -> bool:
+        """IMU cTimeGap hook (reference: >0.5 s since last KF under VIO)."""
+        return False
 
     def _set_last_frame(self, pyr, R, t, cache_uv):
         smap = self.map
@@ -559,6 +625,162 @@ class MonoTracker:
             pts = pts[order[: self.cfg.max_track]]
         self._cache = pts
 
+    # ------------------------------------------------ feature-method fallbacks
+    def _match_points_to_feats(self, pt_ids, R, t, f, radius, ratio=0.9,
+                               max_dist=matching.TH_HIGH, cap=1024):
+        """Project map points with pose (R,t) and window-match their
+        distinctive descriptors against the frame's extracted features — the
+        batched form of ORBmatcher::SearchByProjection (the reference's
+        per-point grid walk, src/ORBmatcher.cc decl include/ORBmatcher.h:66).
+        Returns (matched point ids, matched feature slots)."""
+        smap = self.map
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        if len(pt_ids) == 0:
+            return empty
+        Xc = smap.pt_xyz[pt_ids] @ R.T + t
+        z = Xc[:, 2]
+        uvp = np.stack([self.cam.fx * Xc[:, 0] / np.maximum(z, 1e-6)
+                        + self.cam.cx,
+                        self.cam.fy * Xc[:, 1] / np.maximum(z, 1e-6)
+                        + self.cam.cy], -1).astype(np.float32)
+        inb = ((z > 0.1) & (uvp[:, 0] > 10) & (uvp[:, 0] < self.cam.width - 10)
+               & (uvp[:, 1] > 10) & (uvp[:, 1] < self.cam.height - 10))
+        pt_ids = np.asarray(pt_ids)[inb]
+        uvp = uvp[inb]
+        if len(pt_ids) == 0:
+            return empty
+        n = min(len(pt_ids), cap)
+        descA = np.zeros((cap, 256), np.uint8)
+        uvA = np.zeros((cap, 2), np.float32)
+        vA = np.zeros(cap, bool)
+        descA[:n] = smap.pt_desc[pt_ids[:n]]
+        uvA[:n] = uvp[:n]
+        vA[:n] = True
+        idx, ok = matching.match_with_windows(
+            jnp.asarray(descA), jnp.asarray(vA),
+            jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
+            uv_pred1=jnp.asarray(uvA), uv2=jnp.asarray(f["uv"]),
+            radius=radius, max_dist=max_dist, ratio=ratio, mutual=True)
+        idx = np.asarray(idx)[:n]
+        rows = np.nonzero(np.asarray(ok)[:n])[0]
+        return pt_ids[:n][rows], idx[rows].astype(np.int64)
+
+    def _pose_opt_matches(self, pt_ids, slots, f, R0, t0):
+        """Pose-only GN over point->feature matches. Returns (result,
+        per-match inlier mask, n actually used)."""
+        cap = self.cfg.max_track
+        n = min(len(pt_ids), cap)
+        X = np.zeros((cap, 3), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        is2 = np.ones(cap, np.float32)
+        val = np.zeros(cap, bool)
+        X[:n] = self.map.pt_xyz[pt_ids[:n]]
+        uv[:n] = f["uv"][slots[:n]]
+        is2[:n] = 0.25 ** f["level"][slots[:n]]
+        val[:n] = True
+        res = pose_optimization(
+            jnp.asarray(X), jnp.asarray(uv), jnp.asarray(is2),
+            jnp.asarray(val), jnp.asarray(np.asarray(R0, np.float32)),
+            jnp.asarray(np.asarray(t0, np.float32)), self.intr)
+        return res, np.asarray(res.inliers)[:n], n
+
+    def _feature_fallback(self, pyr, R_pred, t_pred):
+        """Reference escalation ladder on direct-tracking failure
+        (src/Tracking.cc:473-476, 563-577): extract features once, then
+        motion model -> reference keyframe -> feature local-map tracking.
+        Returns (R, t, pt_ids, uv, lvl) or None (-> LOST)."""
+        if self.map.n_kf == 0:
+            return None
+        f = self._feats_to_dict(self.extractor(pyr))
+        pose = self._track_with_motion_model(f, R_pred, t_pred)
+        self.debug["fb_motion"] = pose is not None
+        if pose is None:
+            pose = self._track_reference_keyframe(f)
+            self.debug["fb_refkf"] = pose is not None
+        if pose is None:
+            return None
+        out = self._track_local_map_features(f, *pose)
+        self.debug["fb_localmap"] = out is not None
+        return out
+
+    def _track_with_motion_model(self, f, R_pred, t_pred,
+                                 min_matches: int = 20,
+                                 min_inliers: int = 10):
+        """Project the last frame's tracked points with the predicted pose
+        and descriptor-match in a window; x2-radius retry as the reference
+        does (Tracking::TrackWithMotionModel src/Tracking.cc:1152-1211)."""
+        with self._map_lock:
+            ids = self._cache.copy()
+        pt_ids = slots = None
+        for radius in (15.0, 30.0):
+            pt_ids, slots = self._match_points_to_feats(
+                ids, R_pred, t_pred, f, radius=radius, ratio=0.9)
+            if len(pt_ids) >= min_matches:
+                break
+        if pt_ids is None or len(pt_ids) < min_matches:
+            return None
+        res, inl, _ = self._pose_opt_matches(pt_ids, slots, f, R_pred, t_pred)
+        if int(np.asarray(res.n_inliers)) < min_inliers:
+            return None
+        return self._pose_np(res.R, res.t)
+
+    def _track_reference_keyframe(self, f, min_matches: int = 15,
+                                  min_inliers: int = 10):
+        """Descriptor match against the reference KF's bound features +
+        pose opt from the last pose (Tracking::TrackReferenceKeyFrame
+        src/Tracking.cc:1008-1063; the BoW node gating becomes a plain
+        batched mutual NN with the reference's 0.7 ratio)."""
+        kf = self._last_kf
+        smap = self.map
+        if kf < 0 or not smap.kf_valid[kf]:
+            return None
+        with self._map_lock:
+            bound = smap.kf_feat_pt[kf] >= 0
+            if int(bound.sum()) < min_matches:
+                return None
+            idx, ok = matching.match_with_windows(
+                jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
+                jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
+                max_dist=matching.TH_LOW, ratio=0.7,
+                ang1=jnp.asarray(smap.kf_feat_angle[kf]),
+                ang2=jnp.asarray(f["angle"]), mutual=True)
+            idx = np.asarray(idx)
+            rows = np.nonzero(np.asarray(ok))[0]
+            if len(rows) < min_matches:
+                return None
+            pt_ids = smap.kf_feat_pt[kf, rows]
+            slots = idx[rows]
+            good = smap.pt_valid[pt_ids]
+            pt_ids, slots = pt_ids[good], slots[good]
+        if len(pt_ids) < min_matches:
+            return None
+        res, inl, _ = self._pose_opt_matches(pt_ids, slots, f,
+                                             self._last_R, self._last_t)
+        if int(np.asarray(res.n_inliers)) < min_inliers:
+            return None
+        return self._pose_np(res.R, res.t)
+
+    def _track_local_map_features(self, f, R, t):
+        """Feature-method TrackLocalMap (reference src/Tracking.cc:1213-1262
+        via SearchLocalPoints :1628): project the local map with the
+        recovered pose, window-match, final pose opt; succeed at
+        min_track_inliers. Returns (R, t, pt_ids, uv, lvl) or None."""
+        with self._map_lock:
+            self._rebuild_cache()
+            ids = self._cache.copy()
+        pt_ids, slots = self._match_points_to_feats(
+            ids, R, t, f, radius=8.0, ratio=0.8)
+        if len(pt_ids) < self.cfg.min_track_inliers:
+            return None
+        res, inl, n = self._pose_opt_matches(pt_ids, slots, f, R, t)
+        if int(np.asarray(res.n_inliers)) < self.cfg.min_track_inliers:
+            return None
+        rows = np.nonzero(inl)[0]
+        R_cur, t_cur = self._pose_np(res.R, res.t)
+        return (R_cur, t_cur, pt_ids[:n][rows],
+                f["uv"][slots[:n][rows]].astype(np.float32),
+                f["level"][slots[:n][rows]].astype(np.int32))
+
     # -------------------------------------------------------------- keyframes
     def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
                          tracked_lvl):
@@ -601,6 +823,7 @@ class MonoTracker:
             "desc": np.concatenate([desc, nf.desc]),
             "valid": np.concatenate([val_pad, nf.valid]),
         }
+        feats["ur"] = self._feature_ur(feats, pyr)
         kf = smap.add_keyframe(R, t, feats, ts=ts, frame_id=self.frame_id,
                                pyramid=pyr)
         smap.bind(kf, np.arange(m), tracked_ids[:m])
@@ -638,7 +861,7 @@ class MonoTracker:
             self.mapper.update_distinctive_descriptors(smap, kf)
             self._run_local_ba(smap, kf)
             self.mapper.cull_points(smap)
-            n_culled = self.mapper.cull_keyframes(smap, kf)
+            n_culled = self._cull_keyframes(smap, kf)
             if n_culled and self.bow_index is not None:
                 m = min(len(self.bow_index.kf_valid), smap.n_kf)
                 self.bow_index.kf_valid[:m] &= smap.kf_valid[:m]
@@ -676,6 +899,11 @@ class MonoTracker:
         window BA once VINS-initialized."""
         self.mapper.local_ba(smap, kf)
 
+    def _cull_keyframes(self, smap, kf):
+        """Keyframe-culling dispatch; the mono-VI tracker adds the IMU-chain
+        guards and merges culled KFs' IMU windows into their successors."""
+        return self.mapper.cull_keyframes(smap, kf)
+
     # ------------------------------------------------------------ vio hooks
     def _predict_pose(self):
         """Optional pose prediction override (mono-VI: IMU propagation).
@@ -693,6 +921,13 @@ class MonoTracker:
         return False
 
     # ------------------------------------------------------------ depth seeds
+    def _feature_ur(self, f, pyr):
+        """Per-feature right-image u coordinate u_r (the reference's
+        mvuRight, src/Frame.cc:509-701); -1 = monocular. Overridden by the
+        RGB-D (depth lookup) and stereo (disparity search) trackers; these
+        feed the 3-D (u,v,u_r) BA edges."""
+        return np.full(len(f["uv"]), -1.0, np.float32)
+
     def _depth_source_available(self) -> bool:
         return getattr(self, "_cur_depth", None) is not None
 
@@ -706,22 +941,35 @@ class MonoTracker:
         yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
         return np.asarray(depth)[yi, xi]
 
-    def _create_depth_points(self, smap, kf, pyr, max_depth: float = 40.0):
-        """Create map points for unbound features with valid depth."""
+    def _th_depth(self) -> float:
+        """Metric close/far threshold: bf/fx * ThDepth (reference
+        src/Tracking.cc:252-258); a wide absolute default when bf unset."""
+        if self.cam.bf > 0:
+            return self.cam.bf / self.cam.fx * self.cfg.th_depth
+        return 40.0
+
+    def _create_depth_points(self, smap, kf, pyr, min_points: int = 100):
+        """Create map points for unbound features with valid depth.
+        Close points (z < ThDepth) are always inserted; far ones only
+        nearest-first until `min_points` total (reference CreateNewKeyFrame
+        close/far policy, src/Tracking.cc:1556-1608)."""
         unbound = smap.kf_feat_valid[kf] & (smap.kf_feat_pt[kf] < 0)
         slots = np.nonzero(unbound)[0]
         if len(slots) == 0:
             return 0
         d = self._feature_depths(smap, kf, slots)
         uv = smap.kf_feat_uv[kf, slots]
-        ok = (d > 0.1) & (d < max_depth) & np.isfinite(d)
+        ok = (d > 0.1) & np.isfinite(d)
         ok &= np.asarray(self.mapper.patch_in_bounds(
             uv, smap.kf_feat_level[kf, slots]))
-        slots = slots[ok]
+        slots, uv, d = slots[ok], uv[ok], d[ok]
         if len(slots) == 0:
             return 0
-        uv = uv[ok]
-        d = d[ok]
+        order = np.argsort(d)                   # nearest first
+        th = self._th_depth()
+        keep = (d[order] < th) | (np.arange(len(order)) < min_points)
+        sel = order[keep]
+        slots, uv, d = slots[sel], uv[sel], d[sel]
         xn = np.stack([(uv[:, 0] - self.cam.cx) / self.cam.fx,
                        (uv[:, 1] - self.cam.cy) / self.cam.fy], -1)
         Xc = np.concatenate([xn * d[:, None], d[:, None]], -1)
@@ -762,6 +1010,10 @@ class MonoTracker:
             if len(rows) < 10:
                 continue
             pt_ids = smap.kf_feat_pt[kf, idx[rows]]
+            good = smap.pt_valid[pt_ids]
+            rows, pt_ids = rows[good], pt_ids[good]
+            if len(rows) < 10:
+                continue
             cap = 512
             n = min(len(rows), cap)
             X = np.zeros((cap, 3), np.float32)
@@ -774,15 +1026,38 @@ class MonoTracker:
             res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
                              jnp.asarray(valid), self.intr, key,
                              min_inliers=15)
-            if bool(res.ok):
-                R = np.asarray(res.R)
-                t = np.asarray(res.t)
-                self._vel = (np.eye(3, dtype=np.float32),
-                             np.zeros(3, np.float32))
-                self._last_kf = kf
-                self._rebuild_cache()
-                self._set_last_frame(pyr, R, t, cache_uv=None)
-                return True
+            if not bool(res.ok):
+                continue
+            R = np.asarray(res.R)
+            t = np.asarray(res.t)
+            # escalation (reference src/Tracking.cc:1933-1978): verify the
+            # PnP pose with a pose-only GN on the BoW matches, then widen by
+            # projection search over the candidate's local map until >=50
+            # inliers; raw PnP acceptance was the round-1 shortcut.
+            opt, _, _ = self._pose_opt_matches(pt_ids[:n], rows[:n], f, R, t)
+            if int(np.asarray(opt.n_inliers)) < 10:
+                continue
+            R, t = self._pose_np(opt.R, opt.t)
+            n_inl = int(np.asarray(opt.n_inliers))
+            for radius in (10.0, 20.0):
+                if n_inl >= 50:
+                    break
+                local_pts = smap.points_in_kfs(smap.local_window(kf, 10))
+                m_ids, m_slots = self._match_points_to_feats(
+                    local_pts, R, t, f, radius=radius, ratio=0.85)
+                if len(m_ids) < 20:
+                    continue
+                opt, _, _ = self._pose_opt_matches(m_ids, m_slots, f, R, t)
+                n_inl = int(np.asarray(opt.n_inliers))
+                R, t = self._pose_np(opt.R, opt.t)
+            if n_inl < 50:
+                continue
+            self._vel = (np.eye(3, dtype=np.float32),
+                         np.zeros(3, np.float32))
+            self._last_kf = kf
+            self._rebuild_cache()
+            self._set_last_frame(pyr, R, t, cache_uv=None)
+            return True
         return False
 
 
@@ -800,6 +1075,7 @@ class RgbdTracker(MonoTracker):
         f = self._feats_to_dict(feats)
         if int(f["valid"].sum()) < 100:
             return False
+        f["ur"] = self._feature_ur(f, pyr)
         kf0 = smap.add_keyframe(np.eye(3, dtype=np.float32),
                                 np.zeros(3, np.float32), f, ts=ts,
                                 frame_id=self.frame_id, pyramid=pyr)
@@ -808,12 +1084,11 @@ class RgbdTracker(MonoTracker):
             return False
 
         if self.cfg.enable_loop_closing or self.cfg.enable_relocalization:
-            from ..backend.bow import train_vocabulary, BowIndex
+            from ..backend.bow import BowIndex
             from ..backend.loopclosing import LoopCloser
 
             desc = f["desc"][f["valid"]]
-            vocab = train_vocabulary(desc, branching=self.cfg.vocab_branching,
-                                     depth=self.cfg.vocab_depth)
+            vocab = self._build_vocabulary(desc)
             self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
             self.loop_closer = LoopCloser(self.bow_index, self.cam)
             _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf0],
@@ -829,6 +1104,25 @@ class RgbdTracker(MonoTracker):
                              cache_uv=None)
         self._vel = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
         return True
+
+
+    def _feature_ur(self, f, pyr):
+        """RGB-D pseudo-stereo: u_r = u - bf/z from the depth map (reference
+        Frame::ComputeStereoFromRGBD src/Frame.cc:685-701). Requires
+        Camera.bf; without it observations stay monocular (depth still seeds
+        points via _create_depth_points)."""
+        depth = getattr(self, "_cur_depth", None)
+        bf = self.cam.bf
+        if depth is None or bf <= 0 or not hasattr(depth, "shape"):
+            return np.full(len(f["uv"]), -1.0, np.float32)
+        depth = np.asarray(depth)
+        uv = np.asarray(f["uv"])
+        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth.shape[1] - 1)
+        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
+        z = depth[yi, xi]
+        ok = np.asarray(f["valid"]) & (z > 0.1) & np.isfinite(z)
+        ur = uv[:, 0] - bf / np.maximum(z, 1e-6)
+        return np.where(ok, ur, -1.0).astype(np.float32)
 
 
 class StereoTracker(RgbdTracker):
@@ -853,23 +1147,30 @@ class StereoTracker(RgbdTracker):
         self._cur_depth = None
         return ok
 
-    def _feature_depths(self, smap, kf, slots):
+    def _feature_ur(self, f, pyr):
+        """Stereo: batched disparity search for every feature against the
+        current right image (reference Frame::ComputeStereoMatches
+        src/Frame.cc:509-682); u_r = u - disparity."""
         from ..ops.stereo import stereo_match_features
 
+        right = getattr(self, "_cur_right", None)
+        if right is None or self.cam.bf <= 0:
+            return np.full(len(f["uv"]), -1.0, np.float32)
+        disp, ok = stereo_match_features(
+            pyr[0], jnp.asarray(right, dtype=jnp.float32),
+            jnp.asarray(f["uv"]), jnp.asarray(f["valid"]))
+        disp = np.asarray(disp)
+        ok = np.asarray(ok) & (disp > 0.1)
+        ur = np.asarray(f["uv"])[:, 0] - disp
+        return np.where(ok, ur, -1.0).astype(np.float32)
+
+    def _feature_depths(self, smap, kf, slots):
+        """Depths from the stored stereo u_r: d = bf / (u - u_r)."""
         bf = self.cam.bf
         assert bf > 0, "stereo requires Camera.bf (baseline * fx)"
-        uv = smap.kf_feat_uv[kf, slots]
-        cap = self.map.max_feat
-        uv_pad = np.zeros((cap, 2), np.float32)
-        v_pad = np.zeros(cap, bool)
-        n = len(slots)
-        uv_pad[:n] = uv
-        v_pad[:n] = True
-        imgL = smap.kf_pyr[kf][0]  # level-0 left image of this keyframe
-        disp, ok = stereo_match_features(
-            imgL, jnp.asarray(self._cur_right, dtype=jnp.float32),
-            jnp.asarray(uv_pad), jnp.asarray(v_pad))
-        disp = np.asarray(disp)[:n]
-        ok = np.asarray(ok)[:n]
-        d = np.where(ok & (disp > 0.1), bf / np.maximum(disp, 1e-3), -1.0)
+        ur = smap.kf_feat_ur[kf, slots]
+        u = smap.kf_feat_uv[kf, slots, 0]
+        disp = u - ur
+        d = np.where((ur >= 0) & (disp > 0.1),
+                     bf / np.maximum(disp, 1e-3), -1.0)
         return d.astype(np.float32)

@@ -70,13 +70,6 @@ class MonoViTracker(MonoTracker):
         self.gravity_mag = gravity_mag
         self.vins_init_kfs = vins_init_kfs
         self.vins_init_time = vins_init_time
-        # forgetting factor on the carried marginal prior. The frame chain
-        # re-adds the previous frame's reprojection edges next to the prior
-        # that already contains them (the reference does the same,
-        # Optimizer.cc:278-616) — information double-counts and after a few
-        # frames the prior out-weighs fresh vision; discounting it keeps the
-        # prior as a smoother, not an anchor.
-        self.prior_forget = 0.2
 
         # async mapping is not yet supported with the IMU chain (the KF IMU
         # window must be recorded before the worker runs the window BA)
@@ -107,6 +100,7 @@ class MonoViTracker(MonoTracker):
         self._frame_pre: Optional[PreintState] = None
         self._last_frame_ts = None
         self._kf_imu = {}           # kf id -> packed window (since prev KF)
+        self._kf_raw = {}           # kf id -> raw (t, gyro, acc) samples
         self._kf_order = []
         self.vins_scale = None
         self._init_kwargs = dict(Tbc=Tbc, gravity_mag=gravity_mag,
@@ -237,9 +231,12 @@ class MonoViTracker(MonoTracker):
                 jnp.asarray(val),
                 jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
                 jnp.asarray(self.gravity_w))
+            # the marginal excludes the current frame's vision factors
+            # (vio_optim pair marginalization), so it carries undiscounted
+            # into the next step — no forgetting factor needed
             self._prior_mean = tuple(res.prior_mean)
-            self._prior_info = self.prior_forget * np.asarray(res.prior_info)
-            self._has_prior = self.prior_forget > 0
+            self._prior_info = np.asarray(res.prior_info)
+            self._has_prior = True
         else:
             # no previous-frame observations (first frame after init/reset):
             # single-state fallback, previous held fixed
@@ -266,6 +263,13 @@ class MonoViTracker(MonoTracker):
         self._prev_obs = (X, uvp, is2, val)
         return self._body_to_cam(R1, P1)
 
+    def _kf_time_gap(self, ts) -> bool:
+        """cTimeGap (reference Tracking.cc:1402-1525): with the IMU running,
+        force a keyframe after 0.5 s so preintegration links stay short."""
+        if not self.vio_ready or self._last_kf < 0:
+            return False
+        return ts - float(self.map.kf_ts[self._last_kf]) > 0.5
+
     def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:
         if not self.vio_ready:
             return False
@@ -288,6 +292,7 @@ class MonoViTracker(MonoTracker):
             else (self._imu_since_kf[0][0] if self._imu_since_kf else ts)
         self._kf_imu[kf] = _pack_window(self._imu_since_kf, prev_t,
                                         KF_IMU_CAP)
+        self._kf_raw[kf] = list(self._imu_since_kf)
         self._kf_order.append(kf)
         self._imu_since_kf = []
         if not self.vio_ready:
@@ -300,6 +305,64 @@ class MonoViTracker(MonoTracker):
         self._has_prior = False
         self._prev_obs = None
         return out
+
+    def _cull_keyframes(self, smap, kf):
+        """KeyFrameCulling with the reference's VIO guards
+        (src/LocalMapping.cc:1440-1450): never cull the direct previous
+        chain KF of the current one, nor KFs within 0.15 s of it. On a cull,
+        the dead KF's IMU samples are appended to the FRONT of its
+        successor's window and the link is re-packed, so the preintegration
+        spanning the gap stays exact (reference
+        KeyFrame::AppendIMUDataToFront, src/KeyFrame.cc:82-89)."""
+        protect = set()
+        if self._kf_order:
+            if len(self._kf_order) >= 2 and self._kf_order[-1] == kf:
+                protect.add(self._kf_order[-2])
+            ts_cur = smap.kf_ts[kf]
+            for k in self._kf_order:
+                if smap.kf_ts[k] >= ts_cur - 0.15:
+                    protect.add(k)
+            # the reference additionally skips the last 10 keyframes under
+            # VIO ("don't remove nearby key-frames in vio",
+            # LocalMapping.cc:1439-1441) — this is what lets the chain grow
+            # to the VINS-init window length before culling prunes it
+            protect.update(self._kf_order[-10:])
+        n = self.mapper.cull_keyframes(smap, kf, protect=protect)
+        if n:
+            self._merge_culled_imu(smap)
+        return n
+
+    def _merge_culled_imu(self, smap):
+        """Rebuild the keyframe IMU chain after culling: each dead KF's raw
+        samples are prepended to the next surviving KF's window, which is
+        re-packed against its new predecessor's timestamp."""
+        order = self._kf_order
+        if all(smap.kf_valid[k] for k in order):
+            return
+        kf_ns = getattr(self, "_kf_ns", {})
+        pending = []
+        new_order = []
+        for k in order:
+            if smap.kf_valid[k]:
+                if pending:
+                    self._kf_raw[k] = pending + self._kf_raw.get(k, [])
+                    if new_order:
+                        prev_t = smap.kf_ts[new_order[-1]]
+                    elif self._kf_raw[k]:
+                        prev_t = self._kf_raw[k][0][0]
+                    else:
+                        prev_t = smap.kf_ts[k]
+                    self._kf_imu[k] = _pack_window(self._kf_raw[k], prev_t,
+                                                   KF_IMU_CAP)
+                    pending = []
+                new_order.append(k)
+            else:
+                pending = pending + self._kf_raw.pop(k, [])
+                self._kf_imu.pop(k, None)
+                kf_ns.pop(k, None)
+        # trailing pending (last chain KF culled) can only happen if the
+        # culler ignored the protect set — drop those samples
+        self._kf_order = new_order
 
     def _kf_preints(self, bg):
         out = []
@@ -431,7 +494,7 @@ class MonoViTracker(MonoTracker):
             return
         if len(pt_ids) > self.BA_L:
             pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[: self.BA_L]]
-        o_kf, o_pt, o_uv, o_lvl = smap.observations(chain, pt_ids)
+        o_kf, o_pt, o_uv, o_lvl, _ = smap.observations(chain, pt_ids)
         if len(o_kf) > self.BA_O:
             o_kf, o_pt, o_uv, o_lvl = (o_kf[: self.BA_O], o_pt[: self.BA_O],
                                        o_uv[: self.BA_O], o_lvl[: self.BA_O])

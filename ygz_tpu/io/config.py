@@ -97,6 +97,7 @@ def load_settings(path_or_text: str) -> Settings:
         kf_min_gap=int(get("Tracking.KFMinGap", 3)),
         kf_max_gap=int(get("Tracking.KFMaxGap", 30)),
         keypoint_mode=str(get("ORBextractor.keypointMode", "grid")),
+        th_depth=float(get("ThDepth", get("Camera.ThDepth", 35.0))),
     )
 
     vio = VioSettings(
