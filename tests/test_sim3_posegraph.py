@@ -161,3 +161,81 @@ class TestPoseGraph:
         assert drift_after < 0.35 * drift_before, (drift_before, drift_after)
         assert abs(s7 - 1.0) < 0.03, s7
         assert ang < 2.0, ang
+
+
+class TestPoseGraphCG:
+    """Matrix-free PCG solver (large essential graphs, beyond the dense
+    MAX_PG_NODES threshold)."""
+
+    @staticmethod
+    def _chain_problem(K, rng, drift=0.01):
+        from ygz_tpu.geometry import sim3 as s3
+        true, est = [], []
+        for k in range(K):
+            w = np.array([0.0, 0.0, 2 * np.pi * k / K], np.float32)
+            R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+            t = np.array([np.cos(2 * np.pi * k / K),
+                          np.sin(2 * np.pi * k / K), 0.0], np.float32)
+            true.append((R, t, 1.0))
+
+        def rel(a, b):
+            Ri, ti, si = s3.sim3_inv(jnp.asarray(a[0]), jnp.asarray(a[1]),
+                                     a[2])
+            return s3.sim3_mul(jnp.asarray(b[0]), jnp.asarray(b[1]), b[2],
+                               Ri, ti, si)
+
+        est = [true[0]]
+        for k in range(1, K):
+            Rr, tr_, sr = rel(true[k - 1], true[k])
+            dn = rng.standard_normal(7).astype(np.float32) * drift
+            Rd, td, sd = s3.sim3_exp(jnp.asarray(dn))
+            Rn, tn, sn = s3.sim3_mul(Rd, td, sd, Rr, tr_, sr)
+            prev = est[-1]
+            est.append(tuple(np.asarray(x) for x in s3.sim3_mul(
+                Rn, tn, sn, jnp.asarray(prev[0]), jnp.asarray(prev[1]),
+                float(prev[2]))))
+
+        ei, ej, eR, et_, es_, ew = [], [], [], [], [], []
+        for k in range(1, K):
+            Rr, tr_, sr = rel(est[k - 1], est[k])
+            ei.append(k - 1); ej.append(k)
+            eR.append(np.asarray(Rr)); et_.append(np.asarray(tr_))
+            es_.append(float(sr)); ew.append(1.0)
+        Rr, tr_, sr = rel(true[0], true[K - 1])  # true loop edge
+        ei.append(0); ej.append(K - 1)
+        eR.append(np.asarray(Rr)); et_.append(np.asarray(tr_))
+        es_.append(float(sr)); ew.append(5.0)
+        args = (jnp.asarray(np.stack([e[0] for e in est])),
+                jnp.asarray(np.stack([e[1] for e in est])),
+                jnp.asarray(np.array([e[2] for e in est], np.float32)),
+                jnp.asarray(np.array(ei, np.int32)),
+                jnp.asarray(np.array(ej, np.int32)),
+                jnp.asarray(np.stack(eR)), jnp.asarray(np.stack(et_)),
+                jnp.asarray(np.array(es_, np.float32)),
+                jnp.asarray(np.array(ew, np.float32)),
+                jnp.asarray(np.array([True] + [False] * (K - 1))))
+        return true, est, args
+
+    def test_cg_matches_dense_small(self):
+        from ygz_tpu.backend.posegraph import optimize_pose_graph_cg
+        rng = np.random.default_rng(5)
+        K = 16
+        true, est, args = self._chain_problem(K, rng)
+        d = optimize_pose_graph(*args, n_nodes=K, iters=15)
+        c = optimize_pose_graph_cg(*args, n_nodes=K, iters=15, cg_iters=80)
+        np.testing.assert_allclose(np.asarray(d.t), np.asarray(c.t),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(d.s), np.asarray(c.s),
+                                   atol=2e-3)
+
+    def test_cg_large_graph_closes_loop(self):
+        from ygz_tpu.backend.posegraph import optimize_pose_graph_cg
+        rng = np.random.default_rng(6)
+        K = 300  # beyond the dense MAX_PG_NODES threshold
+        true, est, args = self._chain_problem(K, rng, drift=0.004)
+        res = optimize_pose_graph_cg(*args, n_nodes=K, iters=12, cg_iters=60)
+        # drifted end pose error must shrink substantially after closing
+        tK = np.asarray(res.t)[K - 1] / np.asarray(res.s)[K - 1]
+        err_before = np.linalg.norm(np.asarray(est[K - 1][1]) - true[K - 1][1])
+        err_after = np.linalg.norm(tK - true[K - 1][1])
+        assert err_after < 0.25 * err_before, (err_before, err_after)

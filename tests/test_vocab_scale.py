@@ -1,0 +1,81 @@
+"""Shipped offline vocabulary at scale: retrieval quality over hundreds of
+distinct views and BoW-index growth past its initial capacity (VERDICT
+round-1 gaps: 512-word toy vocab aliases; index capacity fixed at init)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ygz_tpu.backend.bow import (BowIndex, load_vocabulary,
+                                 default_vocabulary_path)
+from ygz_tpu.frontend.extractor import OrbExtractor
+from ygz_tpu.ops.image import build_pyramid
+from ygz_tpu.geometry import lie
+
+from synthetic import SmoothScene, StepScene
+
+VOCAB = default_vocabulary_path()
+
+
+def _view_desc(extractor, scene, R, t):
+    pyr = build_pyramid(jnp.asarray(scene.render(R, t), jnp.float32), 4, 2.0)
+    f = extractor(pyr)
+    return np.asarray(f.desc), np.asarray(f.valid)
+
+
+def test_shipped_vocab_loads():
+    assert os.path.exists(VOCAB), "run tools/train_vocab.py"
+    v = load_vocabulary(VOCAB)
+    assert v.n_words > 5000, v.n_words
+    assert v.words.shape[1] == 256
+    assert np.isfinite(v.idf).all()
+
+
+@pytest.mark.slow
+def test_loop_retrieval_over_300_views():
+    """300+ views along a long sweep across two scenes: a revisit query must
+    retrieve its true neighborhood, and the index must grow past its initial
+    capacity without OOB."""
+    vocab = load_vocabulary(VOCAB)
+    index = BowIndex(vocab, max_kf=64)   # forces growth at 64, 128, 256
+    extractor = OrbExtractor(n_features=512, n_levels=4, scale_factor=2.0,
+                             fast_th=20.0, fast_th_min=7.0, mode="grid")
+
+    scenes = [SmoothScene(seed=41, tex_size=2400),
+              StepScene(seed=42, tex_size=2400)]
+    N = 320
+    views = []
+    for i in range(N):
+        scene = scenes[(i // 40) % 2]
+        yaw = 0.02 * np.sin(i * 0.3)
+        R = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.0, yaw, 0.0], np.float32))))
+        c = np.array([0.035 * (i % 160), 0.1 * np.sin(i * 0.17), 0.0],
+                     np.float32)
+        t = (-R @ c).astype(np.float32)
+        views.append((scene, R, t))
+        desc, valid = _view_desc(extractor, scene, R, t)
+        _, bow = index.quantize(desc, valid)
+        index.add_keyframe(i, bow)
+
+    assert len(index.kf_valid) >= N         # grew, no OOB
+    assert index.kf_valid[:N].all()
+
+    # queries: re-render near early views with small pose offsets; the top
+    # retrieval (excluding trivially-adjacent ids) must land within +-40/160
+    # of the true revisit location (the sweep repeats every 160 ids)
+    hits = 0
+    for qi in (10, 50, 90, 130):
+        scene, R, t = views[qi]
+        t2 = t + np.array([0.01, 0.005, 0.0], np.float32)
+        desc, valid = _view_desc(extractor, scene, R, t2)
+        _, bow = index.quantize(desc, valid)
+        exclude = set(range(max(0, qi - 12), qi + 13))
+        cands = index.loop_candidates(bow, min_score=0.0, exclude=exclude,
+                                      max_candidates=3)
+        good = [c for c in cands
+                if abs((c % 160) - (qi % 160)) <= 40
+                and (c // 40) % 2 == (qi // 40) % 2]
+        hits += bool(good)
+    assert hits >= 3, f"only {hits}/4 revisit queries retrieved correctly"

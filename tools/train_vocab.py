@@ -1,0 +1,84 @@
+"""Offline place-recognition vocabulary training.
+
+The reference loads a pre-trained 1M-word ORBvoc binary at startup
+(/root/reference/src/System.cc:186-191, k=10 L=6). This tool trains the
+shipped equivalent for the TPU engine: hierarchical k-medians over ORB
+descriptors extracted from many rendered synthetic scenes (no real datasets
+exist in this environment — see SURVEY.md §A.5), default k=10 L=4 (~10^4
+words), persisted to ygz_tpu/data/orb_vocab.npz (~0.4 MB packed).
+
+Usage:
+    JAX_PLATFORMS=cpu python tools/train_vocab.py \
+        [--out ygz_tpu/data/orb_vocab.npz] [--branching 10] [--depth 4] \
+        [--scenes 12] [--views 8]
+"""
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        ROOT, "ygz_tpu", "data", "orb_vocab.npz"))
+    ap.add_argument("--branching", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--scenes", type=int, default=12)
+    ap.add_argument("--views", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    from synthetic import PlaneScene, SmoothScene, StepScene
+    from ygz_tpu.frontend.extractor import OrbExtractor
+    from ygz_tpu.ops.image import build_pyramid
+    from ygz_tpu.geometry import lie
+    import jax.numpy as jnp
+    from ygz_tpu.backend.bow import train_vocabulary, save_vocabulary
+
+    extractor = OrbExtractor(n_features=512, n_levels=4, scale_factor=2.0,
+                             fast_th=20.0, fast_th_min=7.0, mode="grid")
+
+    descs, docs = [], []
+    doc = 0
+    kinds = [SmoothScene, StepScene, PlaneScene]
+    for s in range(args.scenes):
+        scene = kinds[s % len(kinds)](seed=100 + s, tex_size=1600)
+        rng = np.random.default_rng(s)
+        for v in range(args.views):
+            w = rng.normal(0, 0.05, 3).astype(np.float32)
+            R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+            c = np.array([rng.uniform(-1, 1), rng.uniform(-0.7, 0.7),
+                          rng.uniform(-0.5, 0.5)], np.float32)
+            t = (-R @ c).astype(np.float32)
+            img = scene.render(R, t)
+            pyr = build_pyramid(jnp.asarray(img, jnp.float32), 4, 2.0)
+            feats = extractor(pyr)
+            valid = np.asarray(feats.valid)
+            d = np.asarray(feats.desc)[valid]
+            descs.append(d)
+            docs.append(np.full(len(d), doc, np.int64))
+            doc += 1
+        print(f"scene {s + 1}/{args.scenes}: "
+              f"{sum(len(d) for d in descs)} descriptors", flush=True)
+
+    desc = np.concatenate(descs)
+    doc_ids = np.concatenate(docs)
+    print(f"training k={args.branching} L={args.depth} on {len(desc)} "
+          f"descriptors from {doc} views ...", flush=True)
+    vocab = train_vocabulary(desc, branching=args.branching,
+                             depth=args.depth, doc_ids=doc_ids)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    save_vocabulary(vocab, args.out)
+    print(f"saved {vocab.n_words} words -> {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.2f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -91,10 +91,15 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     words = np.stack(leaves)
     groups = np.array(group_of_leaf, np.int32)
 
-    # idf from training assignment
+    # idf from training assignment (chunked: M x W would not fit for the
+    # offline 10^4-word vocabulary trained on 10^5+ descriptors)
     W = len(words)
-    d = np.asarray(hamming_matrix(jnp.asarray(desc), jnp.asarray(words)))
-    wa = d.argmin(axis=1)
+    words_dev = jnp.asarray(words)
+    wa = np.empty(len(desc), np.int64)
+    B = 4096
+    for i in range(0, len(desc), B):
+        d = np.asarray(hamming_matrix(jnp.asarray(desc[i: i + B]), words_dev))
+        wa[i: i + B] = d.argmin(axis=1)
     if doc_ids is None:
         doc_ids = np.zeros(len(desc), np.int64)
     n_docs = max(int(doc_ids.max()) + 1, 1)
@@ -104,6 +109,31 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32) + 1.0
     return Vocabulary(words=words, groups=groups, idf=idf,
                       branching=branching, depth=depth)
+
+
+# ------------------------------------------------------------- persistence
+def save_vocabulary(vocab: Vocabulary, path: str):
+    """Persist a trained vocabulary (bits packed: a 10^4-word tree is
+    ~0.4 MB — the reference ships the 1M-word ORBvoc.bin the same way,
+    src/System.cc:186-191)."""
+    np.savez_compressed(
+        path, words_packed=np.packbits(vocab.words, axis=1),
+        groups=vocab.groups, idf=vocab.idf,
+        meta=np.array([vocab.branching, vocab.depth], np.int64))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    words = np.unpackbits(z["words_packed"], axis=1)[:, :256].astype(np.uint8)
+    return Vocabulary(words=words, groups=np.array(z["groups"]),
+                      idf=np.array(z["idf"]), branching=int(z["meta"][0]),
+                      depth=int(z["meta"][1]))
+
+
+def default_vocabulary_path() -> str:
+    import os
+    return os.path.join(os.path.dirname(__file__), "..", "data",
+                        "orb_vocab.npz")
 
 
 @functools.partial(jax.jit, static_argnames=())

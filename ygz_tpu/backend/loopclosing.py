@@ -22,12 +22,11 @@ import jax.numpy as jnp
 
 from .bow import BowIndex
 from .mapstate import SlamMap
-from .posegraph import optimize_pose_graph
+from .posegraph import optimize_pose_graph, optimize_pose_graph_cg
 from ..geometry.sim3 import sim3_ransac, sim3_mul, sim3_inv, sim3_apply
 from ..ops import matching
 
-MAX_PG_NODES = 256
-MAX_PG_EDGES = 2048
+MAX_PG_NODES = 256   # dense solve up to here; PCG beyond
 
 
 class LoopCloser:
@@ -40,6 +39,9 @@ class LoopCloser:
         self.covis_weight = covis_weight
         self._consistent_groups = []  # list of (set_of_kfs, count)
         self.last_loop_kf = -1
+        # accepted loop edges (i, j, R, t, s), kept for every later
+        # essential-graph solve (reference src/Optimizer.cc:2236)
+        self.loop_edges = []
         self._rng = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------- detection
@@ -50,10 +52,15 @@ class LoopCloser:
             return None
         cov = smap.covisibility(kf)
         covisible = set(np.nonzero(cov > 0)[0].tolist()) | {kf}
-        # min score among strongly covisible KFs
+        # min score among covisible KFs (reference DetectLoop: candidates
+        # must beat the LEAST-similar covisible view, LoopClosing.cc:118-137;
+        # weight >= 15 is the reference's connection threshold, falling back
+        # to any covisible, then to 1.0 = block when none exist)
         scores = self.bow.scores(bow_vec)
         strong = [k for k in covisible if k != kf and cov[k] >= 15]
-        min_score = min((scores[k] for k in strong), default=0.6)
+        if not strong:
+            strong = [k for k in covisible if k != kf]
+        min_score = min((scores[k] for k in strong), default=1.0)
         cands = self.bow.loop_candidates(bow_vec, min_score=min_score,
                                          exclude=covisible)
         if not cands:
@@ -207,94 +214,171 @@ class LoopCloser:
         """Apply the loop: essential-graph optimization with the loop edge.
 
         S_ck = (R,t,s): cand-camera -> kf-camera similarity measured by
-        ComputeSim3. Edges: covisibility chain (weight >= covis_weight) +
-        consecutive-KF odometry + the loop edge. Node Sim3 = (R_kw, t_kw, 1).
-        """
+        ComputeSim3. Edges: consecutive-KF odometry + strong covisibility
+        (weight >= covis_weight) + ALL loop edges ever accepted (persisted,
+        reference src/Optimizer.cc:2236) + the new measured loop edge. Node
+        Sim3 = (R_kw, t_kw, 1). Small graphs solve dense; beyond
+        MAX_PG_NODES the matrix-free PCG solver takes over (no more silent
+        skip at scale)."""
         K = smap.n_kf
-        if K > MAX_PG_NODES:
-            # essential-graph capacity guard: beyond this the dense pose-
-            # graph solve should move to the sharded path; skip correction
-            # rather than crash (loop detection keeps running)
-            return False
         Rn = smap.kf_R[:K].copy()
         tn = smap.kf_t[:K].copy()
-        sn = np.ones(K, np.float32)
 
-        edges = []  # (i, j, R_ji, t_ji, s_ji, w)
+        # --- batched edge construction from current estimates -------------
+        cons_i = np.arange(K - 1, dtype=np.int32)
+        cons_j = cons_i + 1
+        C = smap.covisibility_matrix()
+        cov_i, cov_j = np.nonzero(np.triu(C, k=2) >= self.covis_weight)
+        ei_est = np.concatenate([cons_i, cov_i.astype(np.int32)])
+        ej_est = np.concatenate([cons_j, cov_j.astype(np.int32)])
+        # S_ji = S_j S_i^-1 at unit scales: R_ji = Rj Ri^T, t_ji = tj - R_ji ti
+        Rji = np.einsum("nab,ncb->nac", Rn[ej_est], Rn[ei_est])
+        tji = tn[ej_est] - np.einsum("nab,nb->na", Rji, tn[ei_est])
 
-        def rel(i, j):
-            # S_ji = S_j * S_i^-1 from current estimates
-            Ri, ti, si = sim3_inv(jnp.asarray(Rn[i]), jnp.asarray(tn[i]), 1.0)
-            return sim3_mul(jnp.asarray(Rn[j]), jnp.asarray(tn[j]), 1.0,
-                            Ri, ti, si)
-
-        for j in range(1, K):
-            R_, t_, s_ = rel(j - 1, j)
-            edges.append((j - 1, j, np.asarray(R_), np.asarray(t_), float(s_),
-                          1.0))
-        # strong covisibility edges
-        for i in range(K):
-            cov = smap.covisibility(i)
-            for j in np.nonzero(cov >= self.covis_weight)[0]:
-                if j > i + 1:
-                    R_, t_, s_ = rel(i, int(j))
-                    edges.append((i, int(j), np.asarray(R_), np.asarray(t_),
-                                  float(s_), 1.0))
-        # the loop edge: S_kf<-cand measured
         Rm, tm, sm = S_ck
-        edges.append((cand, kf, Rm, tm, sm, 5.0))
+        loops = self.loop_edges + [(int(cand), int(kf),
+                                    np.asarray(Rm, np.float32),
+                                    np.asarray(tm, np.float32), float(sm))]
+        n_est = len(ei_est)
+        n_all = n_est + len(loops)
 
-        E = MAX_PG_EDGES
-        edges = edges[:E]
+        def bucket(n, opts):
+            for o in opts:
+                if n <= o:
+                    return o
+            return opts[-1]
+
+        E = bucket(n_all, [2048, 8192, 32768])
+        if n_all > E:  # keep all loop edges; drop excess covisibility edges
+            n_est = E - len(loops)
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         eR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
         et = np.zeros((E, 3), np.float32)
         es = np.ones(E, np.float32)
         ew = np.zeros(E, np.float32)
-        for n, (i, j, R_, t_, s_, w_) in enumerate(edges):
-            ei[n] = i
-            ej[n] = j
-            eR[n] = R_
-            et[n] = t_
-            es[n] = s_
-            ew[n] = w_
+        ei[:n_est] = ei_est[:n_est]
+        ej[:n_est] = ej_est[:n_est]
+        eR[:n_est] = Rji[:n_est]
+        et[:n_est] = tji[:n_est]
+        ew[:n_est] = 1.0
+        for n, (i, j, R_, t_, s_) in enumerate(loops):
+            ei[n_est + n] = i
+            ej[n_est + n] = j
+            eR[n_est + n] = R_
+            et[n_est + n] = t_
+            es[n_est + n] = s_
+            ew[n_est + n] = 5.0
 
-        fixed = np.zeros(K, bool)
+        NK = bucket(K, [64, 128, 256, 512, 1024, 2048, 4096])
+        Rn_p = np.tile(np.eye(3, dtype=np.float32), (NK, 1, 1))
+        tn_p = np.zeros((NK, 3), np.float32)
+        sn_p = np.ones(NK, np.float32)
+        Rn_p[:K] = Rn
+        tn_p[:K] = tn
+        fixed = np.ones(NK, bool)   # padding nodes stay fixed
+        fixed[:K] = False
         fixed[cand] = True  # the loop-origin side anchors the gauge
         fixed[0] = True
 
-        res = optimize_pose_graph(
-            jnp.asarray(Rn), jnp.asarray(tn), jnp.asarray(sn),
+        solver = optimize_pose_graph if NK <= MAX_PG_NODES \
+            else optimize_pose_graph_cg
+        res = solver(
+            jnp.asarray(Rn_p), jnp.asarray(tn_p), jnp.asarray(sn_p),
             jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(eR),
             jnp.asarray(et), jnp.asarray(es), jnp.asarray(ew),
-            jnp.asarray(fixed), n_nodes=K, iters=25)
+            jnp.asarray(fixed), n_nodes=NK, iters=25)
 
-        newR = np.asarray(res.R)
-        newt = np.asarray(res.t)
-        news = np.asarray(res.s)
+        newR = np.asarray(res.R)[:K]
+        newt = np.asarray(res.t)[:K]
+        news = np.asarray(res.s)[:K]
 
-        # remap points through their reference KF's correction:
-        # X' = S_new^-1 ( S_old (X) ) per point, using the ref KF sim3
-        for k in range(K):
-            pts = smap.kf_feat_pt[k]
-            pts = np.unique(pts[pts >= 0])
-            pts = pts[smap.pt_ref_kf[pts] == k]
-            if len(pts) == 0:
-                continue
-            Xc_old = smap.pt_xyz[pts] @ smap.kf_R[k].T + smap.kf_t[k]
-            Ri, ti, si = sim3_inv(jnp.asarray(newR[k]), jnp.asarray(newt[k]),
-                                  float(news[k]))
-            Xw_new = np.asarray(sim3_apply(Ri, ti, si, jnp.asarray(Xc_old)))
-            smap.pt_xyz[pts] = Xw_new
+        # remap points through their reference KF's correction (batched):
+        # X' = S_new^-1 ( S_old (X) ) using each point's ref-KF sim3
+        pts = np.nonzero(smap.pt_valid[: smap.n_pt])[0]
+        refs = smap.pt_ref_kf[pts]
+        ok = (refs >= 0) & (refs < K)
+        pts, refs = pts[ok], refs[ok]
+        if len(pts):
+            Xc_old = (np.einsum("nab,nb->na", smap.kf_R[refs],
+                                smap.pt_xyz[pts]) + smap.kf_t[refs])
+            # inverse sim3 apply: X = R^T (Y - t) / s
+            Xw_new = np.einsum("nba,nb->na", newR[refs],
+                               Xc_old - newt[refs]) / news[refs][:, None]
+            smap.pt_xyz[pts] = Xw_new.astype(np.float32)
 
         # write back SE3 poses: Tcw = [R, t/s] (reference :2320-2330)
-        for k in range(K):
-            smap.kf_R[k] = newR[k]
-            smap.kf_t[k] = newt[k] / news[k]
+        smap.kf_R[:K] = newR
+        smap.kf_t[:K] = newt / news[:, None]
         smap.sync_ref_poses()
+        # fuse duplicate landmarks across the (now aligned) loop seam
+        self.search_and_fuse(smap, kf, cand)
+        # persist this loop edge for all future essential-graph solves
+        self.loop_edges.append((int(cand), int(kf),
+                                np.asarray(Rm, np.float32),
+                                np.asarray(tm, np.float32), float(sm)))
         self.last_loop_kf = kf
         return True
+
+    def search_and_fuse(self, smap: SlamMap, kf: int, cand: int,
+                        radius: float = 4.0, neighborhood: int = 8):
+        """After loop correction, project the loop-side landmarks into the
+        current-side keyframes and fuse duplicates — the loop-side point
+        replaces the current-side one (reference LoopClosing::SearchAndFuse
+        src/LoopClosing.cc:546-569 + ORBmatcher::Fuse(Scw,...)
+        src/ORBmatcher.cc:888). Without this, every revisit keeps two copies
+        of the scene and BA strength splits across them."""
+        loop_pts = smap.points_in_kfs(smap.local_window(cand, neighborhood))
+        n_fused = 0
+        for k in smap.local_window(kf, neighborhood):
+            pts = loop_pts[smap.pt_valid[loop_pts]]
+            bound_here = smap.kf_feat_pt[k]
+            pts = pts[~np.isin(pts, bound_here)]
+            if len(pts) == 0:
+                continue
+            R, t = smap.kf_R[k], smap.kf_t[k]
+            Xc = smap.pt_xyz[pts] @ R.T + t
+            z = Xc[:, 2]
+            uv = np.stack([self.cam.fx * Xc[:, 0] / np.maximum(z, 1e-6)
+                           + self.cam.cx,
+                           self.cam.fy * Xc[:, 1] / np.maximum(z, 1e-6)
+                           + self.cam.cy], -1).astype(np.float32)
+            inb = ((z > 0.1) & (uv[:, 0] > 10)
+                   & (uv[:, 0] < self.cam.width - 10)
+                   & (uv[:, 1] > 10) & (uv[:, 1] < self.cam.height - 10))
+            pts, uv = pts[inb], uv[inb]
+            if len(pts) == 0:
+                continue
+            cap = 1024
+            n = min(len(pts), cap)
+            descA = np.zeros((cap, 256), np.uint8)
+            uvA = np.zeros((cap, 2), np.float32)
+            vA = np.zeros(cap, bool)
+            descA[:n] = smap.pt_desc[pts[:n]]
+            uvA[:n] = uv[:n]
+            vA[:n] = True
+            idx, ok = matching.match_with_windows(
+                jnp.asarray(descA), jnp.asarray(vA),
+                jnp.asarray(smap.kf_feat_desc[k]),
+                jnp.asarray(smap.kf_feat_valid[k]),
+                uv_pred1=jnp.asarray(uvA),
+                uv2=jnp.asarray(smap.kf_feat_uv[k]), radius=radius,
+                max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
+            idx = np.asarray(idx)[:n]
+            rows = np.nonzero(np.asarray(ok)[:n])[0]
+            if len(rows) == 0:
+                continue
+            slot_pt = smap.kf_feat_pt[k, idx[rows]]
+            fresh = slot_pt < 0
+            smap.bind(k, idx[rows][fresh], pts[:n][rows[fresh]])
+            for r in np.nonzero(~fresh)[0]:
+                lp = int(pts[:n][rows[r]])
+                cp = int(slot_pt[r])
+                if lp == cp or not (smap.pt_valid[lp] and smap.pt_valid[cp]):
+                    continue
+                smap.replace_point(cp, lp)   # loop-side point wins
+                n_fused += 1
+        return n_fused
 
     # ------------------------------------------------------------- entry
     def process_keyframe(self, smap: SlamMap, kf: int, bow_vec) -> bool:
