@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ygz_tpu.parallel.dist_ba import make_distributed_ba
+from ygz_tpu.parallel.dist_ba import (make_distributed_ba,
+                                      partition_obs_by_landmark)
 from ygz_tpu.geometry import lie
 
 INTR = (400.0, 400.0, 320.0, 240.0)
@@ -66,10 +67,12 @@ def test_distributed_ba_converges_and_matches_mesh_sizes():
         devs = np.array(jax.devices()[:n_dev])
         mesh = Mesh(devs, ("obs",))
         ba = make_distributed_ba(mesh, n_poses=P, n_points=L, iters=12)
+        op, ol, ouv, ow, _ = partition_obs_by_landmark(
+            obs_p, obs_l, obs_uv, obs_w, L, n_dev)
         res = ba(jnp.asarray(np.stack(kf_R)), jnp.asarray(np.stack(kf_t)),
                  jnp.asarray(free), jnp.asarray(Xp), jnp.ones(L, bool),
-                 jnp.asarray(obs_p), jnp.asarray(obs_l), jnp.asarray(obs_uv),
-                 jnp.asarray(obs_w), INTR)
+                 jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+                 jnp.asarray(ow), INTR)
         results.append(jax.tree.map(np.asarray, res))
 
     # 1-device and 8-device results must agree (same math, psum-reduced)

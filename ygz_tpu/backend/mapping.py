@@ -506,6 +506,38 @@ class LocalMapper:
         MapPoint::Replace src/MapPoint.cc:155)."""
         win = smap.local_window(kf, self.window + 4)
         pts = smap.points_in_kfs([k for k in win if k != kf])
+        return self.project_and_fuse(smap, kf, pts, radius=radius)
+
+    def search_in_neighbors(self, smap: SlamMap, kf: int,
+                            radius: float = 4.0, n_direct: int = 10,
+                            n_hop2: int = 5, n_reverse: int = 5):
+        """Full two-hop SearchInNeighbors (reference
+        src/LocalMapping.cc:1228-1326): fuse the covisible (and their
+        covisible) map points INTO the new KF, then fuse the new KF's points
+        back into its strongest neighbors (the reverse direction)."""
+        direct = [k for k in smap.local_window(kf, n_direct + 1) if k != kf]
+        targets = set(direct)
+        for k in direct:
+            targets.update(smap.local_window(k, n_hop2 + 1))
+        targets.discard(kf)
+        targets = [k for k in targets if smap.kf_valid[k]]
+        # forward: all target points into the new KF
+        pts = smap.points_in_kfs(targets)
+        n = self.project_and_fuse(smap, kf, pts, radius=radius)
+        # reverse: the new KF's points into the strongest direct neighbors
+        binds = smap.kf_feat_pt[kf]
+        cur_pts = np.unique(binds[binds >= 0])
+        cur_pts = cur_pts[smap.pt_valid[cur_pts]]
+        for t in direct[:n_reverse]:
+            n += self.project_and_fuse(smap, t, cur_pts, radius=radius)
+        return n
+
+    def project_and_fuse(self, smap: SlamMap, kf: int, pts,
+                         radius: float = 4.0):
+        """Project candidate landmarks into keyframe `kf`, bind matches on
+        unbound features, Replace-fuse on bound ones. Returns match count."""
+        pts = np.asarray(pts)
+        pts = pts[smap.pt_valid[pts]]
         bound_here = smap.kf_feat_pt[kf]
         pts = pts[~np.isin(pts, bound_here)]
         if len(pts) == 0:

@@ -855,8 +855,9 @@ class MonoTracker:
             for prev in partners:
                 if cov[prev] > 0 or prev == self._last_kf:
                     self.mapper.create_new_points(smap, kf, int(prev), pyr)
-            # grow observations by binding local-map points to this KF
-            self.mapper.bind_map_points(smap, kf)
+            # grow observations + fuse duplicates across the neighborhood
+            # (two-hop SearchInNeighbors, both directions)
+            self.mapper.search_in_neighbors(smap, kf)
             smap.assign_parent(kf)
             self.mapper.update_distinctive_descriptors(smap, kf)
             self._run_local_ba(smap, kf)

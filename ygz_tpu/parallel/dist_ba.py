@@ -3,24 +3,33 @@
 The reference has NO distributed computing (SURVEY.md §2.4) — this layer is
 the new TPU-native capability: bundle adjustment sharded across chips.
 
-Design (observation-parallel, the scaling-friendly axis):
-  * observations (the O(10^4..10^6) axis) are sharded across the mesh;
-  * every device computes partial normal-equation blocks (U_p, V_l, W coupling
-    tensor, gradients) from its observation shard via segment_sum;
-  * one `psum` over the mesh reduces them; the (small) reduced camera system
-    and the 3x3 landmark inverses are solved replicated on every device —
-    identical results, no extra broadcast step;
-  * pose/landmark state is replicated; only per-observation work scales.
+Design (landmark-block sharding — round 2; the round-1 observation-only
+sharding replicated the entire Schur-complement pipeline and psum'd the
+[L,P,6,3] coupling tensor every iteration, ~40 MB/iter of collective traffic
+plus O(L·P²) replicated compute, which measured SLOWER with more devices):
 
-Communication per iteration: psum of [P,6,6]+[L,3,3]+[L,P,6,3]+[P,6]+[L,3]
-blocks — independent of O, so scaling efficiency approaches the compute
-fraction of the per-obs work (targeted >=70% at N>=2 hosts, BASELINE.md).
+  * landmarks are block-sharded: device d owns points [d·L/n, (d+1)·L/n);
+  * observations are partitioned BY OWNER of their landmark
+    (`partition_obs_by_landmark`), so every landmark's normal-equation
+    blocks (V_l, b_l, and the L-side coupling M_l) are computed entirely
+    locally — no communication for any per-landmark quantity;
+  * each device reduces its landmark block into a PARTIAL Schur complement
+    S_d = Σ_{l∈d} M_l V_l⁻¹ M_lᵀ; one psum of [P,6,P,6] (+ U, g) assembles
+    the reduced camera system (~1 MB at P=64, independent of L and O);
+  * the small reduced system solves replicated (identical on all devices);
+    landmark back-substitution is local to each block.
+
+Communication per iteration: psum of [P,6,6] + [P,6,P,6] + [P,6] + scalars —
+independent of BOTH the observation count and the landmark count, so scaling
+efficiency approaches the per-landmark/per-observation compute fraction
+(target >=70% at N>=2, BASELINE.md).
 """
 from __future__ import annotations
 
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -38,91 +47,133 @@ class DistBAResult(NamedTuple):
     total_chi2: jnp.ndarray
 
 
-def _ba_iteration(kf_R, kf_t, free, points, pt_valid,
-                  obs_p, obs_l, obs_uv, obs_w, intr, n_poses, n_points,
-                  lam, axis_name=None):
-    """One damped GN iteration with Schur complement; when `axis_name` is
-    set, the block accumulations are psum-reduced across that mesh axis."""
-    fx, fy, cx, cy = intr
-    Pn, L = n_poses, n_points
-    delta2 = CHI2_MONO
-
-    r, A, B, z = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], points[obs_l], obs_uv,
-                             fx, fy, cx, cy)
-    c2 = jnp.sum(r * r, axis=1) * obs_w
-    w = obs_w * (z > 0.0) * _huber_weight(c2, delta2)
-
-    Aw = A * w[:, None, None]
-    Bw = B * w[:, None, None]
-    U = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Aw, A), obs_p, Pn)
-    V = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Bw, B), obs_l, L)
-    Wb = jnp.einsum("nai,naj->nij", Aw, B)
-    bp = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Aw, r), obs_p, Pn)
-    bl = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Bw, r), obs_l, L)
-    M = jax.ops.segment_sum(Wb, obs_l * Pn + obs_p, L * Pn).reshape(L, Pn, 6, 3)
-    chi2_tot = jnp.sum(c2 * (w > 0))
-
-    if axis_name is not None:
-        U = jax.lax.psum(U, axis_name)
-        V = jax.lax.psum(V, axis_name)
-        bp = jax.lax.psum(bp, axis_name)
-        bl = jax.lax.psum(bl, axis_name)
-        M = jax.lax.psum(M, axis_name)
-        chi2_tot = jax.lax.psum(chi2_tot, axis_name)
-
-    V = V + lam * jnp.eye(3)[None]
-    Vinv = jnp.linalg.inv(V)
-    T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
-    S = -jnp.einsum("lpim,lqjm->piqj", T_, M)
-    diag = jnp.arange(Pn)
-    S = S.at[diag, :, diag, :].add(U + lam * jnp.eye(6)[None])
-    g = bp - jnp.einsum("lpim,lm->pi", T_, bl)
-
-    fm = free[:, None].astype(S.dtype)
-    S = S * fm[:, :, None, None] * fm[None, None, :, :]
-    S = S.at[diag, :, diag, :].add(
-        (1.0 - free.astype(S.dtype))[:, None, None] * jnp.eye(6)[None])
-    g = g * fm
-
-    dp = solve_preconditioned(S.reshape(Pn * 6, Pn * 6),
-                              g.reshape(Pn * 6)).reshape(Pn, 6) * fm
-    rhs = bl - jnp.einsum("lpim,pi->lm", M, dp)
-    dl = jnp.einsum("lij,lj->li", Vinv, rhs) * pt_valid[:, None]
-
-    newR, newt = jax.vmap(lambda Rp, tp, d: se3_mul(*se3_exp(d), Rp, tp))(
-        kf_R, kf_t, dp)
-    newpts = points + dl
-    return newR, newt, newpts, chi2_tot
+def partition_obs_by_landmark(obs_p, obs_l, obs_uv, obs_w, n_points: int,
+                              n_dev: int, pad_to: int = None):
+    """Partition the observation table by landmark owner (block sharding of
+    the L axis over n_dev devices). Returns (obs_p, obs_l, obs_uv, obs_w)
+    concatenated in device order with every shard padded to the same length
+    (padding rows carry w=0), plus the per-device shard length. obs_l stays
+    GLOBAL — the sharded kernel localizes with its own block offset."""
+    obs_p = np.asarray(obs_p)
+    obs_l = np.asarray(obs_l)
+    obs_uv = np.asarray(obs_uv)
+    obs_w = np.asarray(obs_w)
+    Lb = n_points // n_dev
+    owner = np.clip(obs_l // max(Lb, 1), 0, n_dev - 1)
+    shards = [np.nonzero(owner == d)[0] for d in range(n_dev)]
+    O_shard = max(max((len(s) for s in shards), default=1), 1)
+    if pad_to is not None:
+        O_shard = max(O_shard, pad_to)
+    op = np.zeros(n_dev * O_shard, np.int32)
+    ol = np.zeros(n_dev * O_shard, np.int32)
+    ouv = np.zeros((n_dev * O_shard, 2), np.float32)
+    ow = np.zeros(n_dev * O_shard, np.float32)
+    for d, s in enumerate(shards):
+        sl = slice(d * O_shard, d * O_shard + len(s))
+        op[sl] = obs_p[s]
+        ol[sl] = obs_l[s]
+        ouv[sl] = obs_uv[s]
+        ow[sl] = obs_w[s]
+        # padding rows must index a LOCAL landmark of this device
+        op[d * O_shard + len(s): (d + 1) * O_shard] = 0
+        ol[d * O_shard + len(s): (d + 1) * O_shard] = d * Lb
+    return op, ol, ouv, ow, O_shard
 
 
 def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
                         iters: int = 10, damping: float = 1e-3):
     """Build a jitted distributed-BA step over `mesh` (axis name "obs").
 
-    Inputs at call time: replicated poses/points; observation arrays sharded
-    on their leading axis (length must be divisible by the mesh size).
+    Call-time inputs: poses replicated; points/pt_valid block-sharded on L
+    (length divisible by the mesh size); observation arrays partitioned with
+    `partition_obs_by_landmark` (leading axis divisible by mesh size, global
+    landmark indices).
     """
     axis = "obs"
+    n_dev = mesh.devices.size
+    Pn = n_poses
+    Lb = n_points // n_dev
+    assert Lb * n_dev == n_points, "n_points must divide by the mesh size"
 
     def step(kf_R, kf_t, free, points, pt_valid, obs_p, obs_l, obs_uv, obs_w,
              intr):
+        # points/pt_valid: local [Lb] block; obs_l: global -> localize
+        fx, fy, cx, cy = intr
+        base = jax.lax.axis_index(axis) * Lb
+        ol = obs_l - base
+        delta2 = CHI2_MONO
+        fm = free[:, None].astype(jnp.float32)
+
+        def chi2_of(kf_R, kf_t, pts):
+            # acceptance metric: NO depth masking — a point pushed behind a
+            # camera keeps its (clamped-depth, enormous) residual, so the LM
+            # gate cannot be gamed by collapsing the map to negative depths
+            # (masked metrics scored that state as chi2=0 and accepted it)
+            r, _, _, _ = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], pts[ol],
+                                     obs_uv, fx, fy, cx, cy)
+            return jax.lax.psum(jnp.sum(jnp.sum(r * r, axis=1) * obs_w),
+                                axis)
+
         def body(carry, _):
-            kf_R, kf_t, points, lam = carry
-            newR, newt, newpts, chi_old = _ba_iteration(
-                kf_R, kf_t, free, points, pt_valid, obs_p, obs_l, obs_uv,
-                obs_w, intr, n_poses, n_points, lam, axis_name=axis)
-            # evaluate acceptance on the new state
-            r, _, _, z = _vmapped_rj(newR[obs_p], newt[obs_p],
-                                     newpts[obs_l], obs_uv, *intr)
-            c2 = jnp.sum(r * r, axis=1) * obs_w * (z > 0.0)
-            chi_new = jax.lax.psum(jnp.sum(c2), axis)
+            kf_R, kf_t, pts, lam = carry
+            r, A, B, z = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], pts[ol],
+                                     obs_uv, fx, fy, cx, cy)
+            c2 = jnp.sum(r * r, axis=1) * obs_w
+            w = obs_w * (z > 0.0) * _huber_weight(c2, delta2)
+            chi_old = jax.lax.psum(jnp.sum(c2), axis)
+
+            Aw = A * w[:, None, None]
+            Bw = B * w[:, None, None]
+            # pose-side blocks: psum across devices
+            U = jax.lax.psum(
+                jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Aw, A),
+                                    obs_p, Pn), axis)
+            bp = -jax.lax.psum(
+                jax.ops.segment_sum(jnp.einsum("nai,na->ni", Aw, r),
+                                    obs_p, Pn), axis)
+            # landmark-side blocks: fully local to the owner device
+            V = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Bw, B), ol, Lb)
+            bl = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Bw, r), ol, Lb)
+            M = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Aw, B),
+                                    ol * Pn + obs_p, Lb * Pn
+                                    ).reshape(Lb, Pn, 6, 3)
+            V = V + lam * jnp.eye(3)[None]
+            Vinv = jnp.linalg.inv(V)
+            T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
+            # partial Schur complement over the local landmark block
+            S_part = -jnp.einsum("lpim,lqjm->piqj", T_, M)
+            g_part = -jnp.einsum("lpim,lm->pi", T_, bl)
+            S = jax.lax.psum(S_part, axis)
+            g = bp + jax.lax.psum(g_part, axis)
+            diag = jnp.arange(Pn)
+            S = S.at[diag, :, diag, :].add(U + lam * jnp.eye(6)[None])
+
+            # gauge / fixed poses
+            S = S * fm[:, :, None, None] * fm[None, None, :, :]
+            S = S.at[diag, :, diag, :].add(
+                (1.0 - free.astype(jnp.float32))[:, None, None]
+                * jnp.eye(6)[None])
+            g = g * fm
+
+            dp = solve_preconditioned(S.reshape(Pn * 6, Pn * 6),
+                                      g.reshape(Pn * 6)).reshape(Pn, 6) * fm
+            rhs = bl - jnp.einsum("lpim,pi->lm", M, dp)
+            dl = jnp.einsum("lij,lj->li", Vinv, rhs) * pt_valid[:, None]
+
+            newR, newt = jax.vmap(
+                lambda Rp, tp, d: se3_mul(*se3_exp(d), Rp, tp))(kf_R, kf_t, dp)
+            newpts = pts + dl
+            chi_new = chi2_of(newR, newt, newpts)
             accept = chi_new < chi_old
             kf_R = jnp.where(accept, newR, kf_R)
             kf_t = jnp.where(accept, newt, kf_t)
-            points = jnp.where(accept, newpts, points)
+            pts = jnp.where(accept, newpts, pts)
             lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
                            1e-6, 1e3)
-            return (kf_R, kf_t, points, lam), chi_new
+            # report the ACCEPTED state's chi2 (a rejected candidate's value
+            # would otherwise surface as total_chi2 of the whole solve)
+            return (kf_R, kf_t, pts, lam), jnp.where(accept, chi_new,
+                                                     chi_old)
 
         (kf_R, kf_t, points, _), chis = jax.lax.scan(
             body, (kf_R, kf_t, points, jnp.float32(damping)), None,
@@ -132,9 +183,9 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
 
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(),
+        in_specs=(P(), P(), P(), P(axis), P(axis),
                   P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=DistBAResult(kf_R=P(), kf_t=P(), points=P(),
+        out_specs=DistBAResult(kf_R=P(), kf_t=P(), points=P(axis),
                                total_chi2=P()),
         check_vma=False)
     return jax.jit(sharded)
