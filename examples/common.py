@@ -19,6 +19,8 @@ def base_parser(desc):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--eval-ate", action="store_true",
                    help="evaluate ATE against dataset ground truth")
+    p.add_argument("--timings", action="store_true",
+                   help="print per-stage wall-time breakdown + counters")
     p.add_argument("--viz", default=None, metavar="DIR",
                    help="dump frame overlays + final map render to DIR "
                         "(the reference's Pangolin viewer, offline)")

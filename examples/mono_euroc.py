@@ -24,6 +24,10 @@ def main():
             state, T = sys_.track_monocular(img, fr.t)
         viewer.update(sys_.tracker, img)
     timer.report()
+    if args.timings:
+        print(sys_.tracker.timer.report())
+        print("counters:", {k: v for k, v in sys_.tracker.stats().items()
+                            if k != "stage_ms"})
     viewer.finish(sys_.tracker)
     sys_.save_trajectory_tum(args.out)
     print(f"trajectory -> {args.out}")

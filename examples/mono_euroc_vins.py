@@ -26,6 +26,10 @@ def main():
         with timer:
             state, T = sys_.track_mono_vi(fr.load(), imu, fr.t)
     timer.report()
+    if args.timings:
+        print(sys_.tracker.timer.report())
+        print("counters:", {k: v for k, v in sys_.tracker.stats().items()
+                            if k != "stage_ms"})
     print("VINS initialized:", sys_.tracker.vio_ready,
           "scale:", sys_.tracker.vins_scale)
     sys_.save_trajectory_tum(args.out)

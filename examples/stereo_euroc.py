@@ -31,6 +31,10 @@ def main():
                                          right.frames[i].load(),
                                          left.frames[i].t)
     timer.report()
+    if args.timings:
+        print(sys_.tracker.timer.report())
+        print("counters:", {k: v for k, v in sys_.tracker.stats().items()
+                            if k != "stage_ms"})
     sys_.save_trajectory_tum(args.out)
     print(f"trajectory -> {args.out}")
     maybe_eval_ate(sys_, left, args, with_scale=False)

@@ -33,6 +33,10 @@ def main():
                                          left.frames[i].t)
         viewer.update(sys_.tracker, img)
     timer.report()
+    if args.timings:
+        print(sys_.tracker.timer.report())
+        print("counters:", {k: v for k, v in sys_.tracker.stats().items()
+                            if k != "stage_ms"})
     viewer.finish(sys_.tracker)
     sys_.save_trajectory_kitti(args.out)
     print(f"trajectory -> {args.out}")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import enum
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -136,6 +137,8 @@ class MonoTracker:
 
         self._cache = np.zeros(0, np.int64)   # map point ids in direct cache
         self.debug = {}
+        from ..utils.profiling import StageTimer
+        self.timer = StageTimer()   # per-stage wall-clock (SURVEY §5 gap)
         # place recognition: vocabulary trained in-system at map init
         self.bow_index: BowIndex = None
         self.loop_closer: LoopCloser = None
@@ -215,7 +218,8 @@ class MonoTracker:
         `depth`: optional [H,W] metric depth map (RGB-D mode)."""
         self.frame_id += 1
         self._cur_depth = depth
-        pyr = self._build_pyramid(img)
+        with self.timer.stage("pyramid"):
+            pyr = self._build_pyramid(img)
 
         if self.state == State.NOT_INITIALIZED:
             ok = self._try_initialize(pyr, ts)
@@ -420,12 +424,15 @@ class MonoTracker:
             # velocity couples extrapolated error into the measurement loop
             # (velocity extrapolation doubles pose error per frame; with any
             # under-correction downstream the loop gain exceeds 1)
+            self.timer.total["sparse_align"] -= time.perf_counter()
             res = sparse_image_align(
                 self._last_pyr, pyr,
                 jnp.asarray(self._last_uv), jnp.asarray(self._last_Xc),
                 jnp.asarray(self._last_valid), self.intr,
                 jnp.eye(3), jnp.zeros(3),
                 levels=tuple(range(cfg.n_levels - 1, 0, -1)), iters=10)
+            self.timer.total["sparse_align"] += time.perf_counter()
+            self.timer.count["sparse_align"] += 1
             self.debug["align_n"] = int(res.n_meas)
             self.debug["align_res"] = float(res.mean_res)
             if int(res.n_meas) >= cfg.min_align_points:
@@ -455,6 +462,7 @@ class MonoTracker:
                         g(smap.pt_ref_t))
 
         g_xyz, g_patch, g_ruv, g_rlvl, g_rR, g_rt = gathered
+        self.timer.total["direct_track"] -= time.perf_counter()
         dres = track_local_map_direct(
             pyr, jnp.asarray(R_pred.astype(np.float32)),
             jnp.asarray(t_pred.astype(np.float32)),
@@ -465,6 +473,8 @@ class MonoTracker:
             n_levels=cfg.n_levels)
 
         n_inliers = int(dres.n_inliers)
+        self.timer.total["direct_track"] += time.perf_counter()
+        self.timer.count["direct_track"] += 1
         self.debug.update(
             n_cache=n, n_visible=int(np.asarray(dres.visible)[:n].sum()),
             n_aligned=int(np.asarray(dres.aligned)[:n].sum()),
@@ -532,8 +542,9 @@ class MonoTracker:
         # ---- keyframe decision -------------------------------------------
         need_kf = self._need_new_keyframe(ts, n_inliers, t_ids, R_cur, t_cur)
         if need_kf:
-            R_ba, t_ba = self._create_keyframe(pyr, ts, R_cur, t_cur,
-                                               t_ids, t_uv, t_lvl)
+            with self.timer.stage("keyframe"):
+                R_ba, t_ba = self._create_keyframe(pyr, ts, R_cur, t_cur,
+                                                   t_ids, t_uv, t_lvl)
             # adopt the BA-corrected pose for this frame
             R_cur, t_cur = R_ba, t_ba
 
@@ -843,12 +854,26 @@ class MonoTracker:
         # report the post-BA pose of this keyframe to the caller
         return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
 
+    def stats(self) -> dict:
+        """Structured counters for observability (SURVEY §5: the reference
+        has only glog prints + the Pangolin window)."""
+        smap = self.map
+        return {
+            "state": self.state.name,
+            "frame_id": self.frame_id,
+            "n_kf": int(smap.kf_valid[: smap.n_kf].sum()),
+            "n_pt": int(smap.pt_valid[: smap.n_pt].sum()),
+            "n_loops_closed": self.n_loops_closed,
+            "cache_size": len(self._cache),
+            "stage_ms": self.timer.mean_ms(),
+        }
+
     def _mapping_tail(self, kf, pyr):
         """The LocalMapping duties for one keyframe (triangulate, fuse, BA,
         cull, place recognition, loop closing). Runs synchronously or on the
         mapping worker thread; map mutations hold the map lock."""
         smap = self.map
-        with self._map_lock:
+        with self.timer.stage("mapping_tail"), self._map_lock:
             # triangulate new points against recent covisible keyframes
             cov = smap.covisibility(kf)
             partners = list(np.argsort(-cov)[:3])

@@ -304,7 +304,9 @@ class MonoViTracker(MonoTracker):
         # frame prior right after a keyframe, src/Tracking.cc:1264-1340)
         self._has_prior = False
         self._prev_obs = None
-        return out
+        # re-read the KF pose: VINS init may have rescaled the map and run
+        # a global BA after super() captured its return value
+        return self.map.kf_R[kf].copy(), self.map.kf_t[kf].copy()
 
     def _cull_keyframes(self, smap, kf):
         """KeyFrameCulling with the reference's VIO guards
@@ -380,6 +382,10 @@ class MonoViTracker(MonoTracker):
             return
         if smap.kf_ts[kfs[-1]] - smap.kf_ts[kfs[0]] < self.vins_init_time:
             return
+        # pre-init visual global BA (reference runs GBA before every
+        # TryInitVIO estimation, src/LocalMapping.cc:212): the SVD solves
+        # are conditioning-sensitive to pose noise
+        self.mapper.global_ba(smap)
         R_wc = [smap.kf_R[k].T for k in kfs]
         c_w = np.stack([-smap.kf_R[k].T @ smap.kf_t[k] for k in kfs])
         res = vins_initialize(
@@ -428,6 +434,27 @@ class MonoViTracker(MonoTracker):
                     R_wb.astype(np.float32))
         self._has_prior = False
         self.vio_ready = True
+
+        # instantiate per-KF NavStates over the whole chain (the reference
+        # sets P/V/R/bias for every KF at init, src/LocalMapping.cc:437-505;
+        # velocities by finite differences of the now-metric positions)
+        self._kf_ns = getattr(self, "_kf_ns", {})
+        body = [self._cam_to_body(smap.kf_R[k], smap.kf_t[k]) for k in kfs]
+        for i, k in enumerate(kfs):
+            R_b, P_b = body[i]
+            j = min(i + 1, len(kfs) - 1)
+            h = max(i, j - 1)
+            dt = max(float(smap.kf_ts[kfs[j]] - smap.kf_ts[kfs[h]]), 1e-3)
+            V_b = (body[j][1] - body[h][1]) / dt
+            self._kf_ns[k] = (P_b.astype(np.float32),
+                              V_b.astype(np.float32),
+                              R_b.astype(np.float32))
+        # post-init joint consistency pass: NavState window BA over the
+        # chain (the reference's GlobalBundleAdjustmentNavState +
+        # spanning-tree propagation, src/LocalMapping.cc:615-713)
+        self._run_local_ba(smap, kfs[-1])
+        R_cw, t_cw = self._body_to_cam(*[self._ns[i] for i in (2, 0)])
+        self._last_R, self._last_t = R_cw, t_cw
 
     # ------------------------------------------------------- VI window BA
     W_CAP = 10   # reference LocalMapping.LocalWindowSize default
