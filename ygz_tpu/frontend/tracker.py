@@ -845,6 +845,9 @@ class MonoTracker:
         self._last_kf = kf
         self._last_kf_frame = self.frame_id
         self._kf_ref_tracked = int((smap.kf_feat_pt[kf] >= 0).sum())
+        # pre-enqueue hook: the mono-VI tracker records the KF's IMU window
+        # here so an async mapping worker sees a complete chain
+        self._on_keyframe_created(kf, ts)
 
         if self.cfg.async_mapping and self._map_worker is not None:
             self._map_queue.put(lambda: self._mapping_tail(kf, pyr))
@@ -929,6 +932,10 @@ class MonoTracker:
         """Keyframe-culling dispatch; the mono-VI tracker adds the IMU-chain
         guards and merges culled KFs' IMU windows into their successors."""
         return self.mapper.cull_keyframes(smap, kf)
+
+    def _on_keyframe_created(self, kf, ts):
+        """Called after a keyframe is added, before its mapping tail is
+        dispatched (possibly to the async worker)."""
 
     # ------------------------------------------------------------ vio hooks
     def _predict_pose(self):

@@ -71,12 +71,6 @@ class MonoViTracker(MonoTracker):
         self.vins_init_kfs = vins_init_kfs
         self.vins_init_time = vins_init_time
 
-        # async mapping is not yet supported with the IMU chain (the KF IMU
-        # window must be recorded before the worker runs the window BA)
-        if self.cfg.async_mapping:
-            self.cfg.async_mapping = False
-            self._map_worker = None
-
         # the reference disables loop CORRECTION under IMU (the Sim3
         # essential-graph rewrite would fight the metric scale / gravity
         # alignment of the VIO state; LoopClosing.cc:70-78 gates
@@ -283,20 +277,32 @@ class MonoViTracker(MonoTracker):
         return True
 
     # ------------------------------------------------------------- keyframes
+    def _on_keyframe_created(self, kf, ts):
+        """Record this KF's IMU window BEFORE the mapping tail is dispatched
+        — with async_mapping the worker's window BA must see a complete
+        chain. Chain mutations share the map lock with the worker."""
+        with self._map_lock:
+            prev_t = self.map.kf_ts[self._kf_order[-1]] if self._kf_order \
+                else (self._imu_since_kf[0][0] if self._imu_since_kf else ts)
+            self._kf_imu[kf] = _pack_window(self._imu_since_kf, prev_t,
+                                            KF_IMU_CAP)
+            self._kf_raw[kf] = list(self._imu_since_kf)
+            self._kf_order.append(kf)
+            self._imu_since_kf = []
+
     def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
                          tracked_lvl):
         out = super()._create_keyframe(pyr, ts, R, t, tracked_ids,
                                        tracked_uv, tracked_lvl)
+        del out  # re-read below: VINS init may rescale / re-optimize
         kf = self._last_kf
-        prev_t = self.map.kf_ts[self._kf_order[-1]] if self._kf_order \
-            else (self._imu_since_kf[0][0] if self._imu_since_kf else ts)
-        self._kf_imu[kf] = _pack_window(self._imu_since_kf, prev_t,
-                                        KF_IMU_CAP)
-        self._kf_raw[kf] = list(self._imu_since_kf)
-        self._kf_order.append(kf)
-        self._imu_since_kf = []
         if not self.vio_ready:
-            self._try_vins_init()
+            if self._map_worker is not None:
+                # VINS init rewrites the whole map (rescale); run it only
+                # against a drained mapping queue
+                self.wait_mapping_idle()
+            with self._map_lock:
+                self._try_vins_init()
         # the window BA at this KF rewrites poses/points: the carried
         # marginal prior and the previous frame's landmark snapshot are
         # stale against the optimized map — drop them (the reference
@@ -466,11 +472,24 @@ class MonoViTracker(MonoTracker):
             return super()._run_local_ba(smap, kf)
         from ..backend.vio_optim import vio_window_ba
 
-        # record this KF's NavState (current fused body state)
-        if self._ns is not None:
-            P, V, R = self._ns
-            self._kf_ns = getattr(self, "_kf_ns", {})
-            self._kf_ns[kf] = (P.copy(), V.copy(), R.copy())
+        # record this KF's NavState: the live fused body state when tracking
+        # is still on this frame; otherwise (async worker running behind)
+        # derive it from the KF's stored camera pose + the previous chain
+        # KF's velocity
+        self._kf_ns = getattr(self, "_kf_ns", {})
+        if kf not in self._kf_ns:
+            if (self._ns is not None
+                    and self.frame_id == int(smap.kf_frame_id[kf])):
+                P, V, R = self._ns
+                self._kf_ns[kf] = (P.copy(), V.copy(), R.copy())
+            else:
+                R_b, P_b = self._cam_to_body(smap.kf_R[kf], smap.kf_t[kf])
+                prev = [k for k in self._kf_order
+                        if k != kf and k in self._kf_ns]
+                V = self._kf_ns[prev[-1]][1].copy() if prev \
+                    else np.zeros(3, np.float32)
+                self._kf_ns[kf] = (P_b.astype(np.float32), V,
+                                   R_b.astype(np.float32))
         chain = [k for k in self._kf_order
                  if k in getattr(self, "_kf_ns", {})
                  and smap.kf_valid[k]][-self.W_CAP:]
@@ -565,6 +584,10 @@ class MonoViTracker(MonoTracker):
             smap.set_pose(k, R_cw, t_cw)
         smap.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
         smap.sync_ref_poses()
-        # keep the live frame NavState in sync with its (current) keyframe
-        if chain[-1] == kf and not fixed[n - 1]:
+        # keep the live frame NavState in sync with its (current) keyframe —
+        # but ONLY while tracking is still on that keyframe's frame: with
+        # async mapping this BA lands later, and overwriting the live state
+        # with an older KF's NavState would rewind the filter
+        if (chain[-1] == kf and not fixed[n - 1]
+                and self.frame_id == int(smap.kf_frame_id[kf])):
             self._ns = self._kf_ns[kf]
