@@ -85,7 +85,7 @@ def bench_device_pipeline():
     return n_frames / dt
 
 
-def bench_system(n_frames: int = 180, warmup: int = 40):
+def bench_system(n_frames: int = 150, warmup: int = 35, verbose: bool = False):
     """Steady-state System.track() on an EuRoC-shaped synthetic sequence."""
     from ygz_tpu.geometry import camera as cam_mod, lie
     from ygz_tpu.system import System, Sensor
@@ -103,34 +103,68 @@ def bench_system(n_frames: int = 180, warmup: int = 40):
         c = np.array([0.02 * i, 0.1 * np.sin(i * 0.1), 0.0], np.float32)
         return R, (-R @ c).astype(np.float32)
 
+    import sys as _sys
     total = warmup + n_frames
-    frames = [np.asarray(scene.render(*pose(i))) for i in range(total)]
+    t_r = time.perf_counter()
+    frames = [scene.render(*pose(i), backend="numpy") for i in range(total)]
+    if verbose:
+        print(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s",
+              file=_sys.stderr, flush=True)
 
     sys_ = System(cam, Sensor.MONOCULAR,
                   config=TrackerConfig(async_mapping=True))
+    t_w = time.perf_counter()
     for i in range(warmup):
         sys_.track_monocular(frames[i], timestamp=i * 0.05)
+    if verbose:
+        print(f"warmup {warmup} frames in {time.perf_counter() - t_w:.1f}s",
+              file=_sys.stderr, flush=True)
 
+    per_frame = []
     t0 = time.perf_counter()
     for i in range(warmup, total):
+        t1 = time.perf_counter()
         sys_.track_monocular(frames[i], timestamp=i * 0.05)
+        per_frame.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
     sys_.shutdown()  # drain the async mapping queue (outside the clock the
     #                  reference also excludes its LocalMapping thread time)
     n_ok = sum(1 for r in sys_.trajectory[warmup:] if r.state == "OK")
-    return n_frames / dt, n_ok
+    # the reference reports MEDIAN track time (mono_euroc_vins.cc:188-190):
+    # one-off jit compiles for late-appearing shapes (loop-closing path,
+    # larger BA buckets) land on single frames and belong to warmup, not to
+    # the steady state
+    med = float(np.median(per_frame))
+    return 1.0 / med, n_frames / dt, n_ok
+
+
+def measure_rtt(reps: int = 20):
+    """Per-dispatch round-trip latency of the device link. On a local chip
+    this is ~0.1 ms; through a remote tunnel it can be tens of ms and then
+    bounds any per-frame metric — reported so the numbers are interpretable
+    against BENCH history."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(f(x))
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():
-    system_fps, n_ok = bench_system()
+    rtt_ms = measure_rtt()
+    system_fps, mean_fps, n_ok = bench_system(verbose=True)
     pipeline_fps = bench_device_pipeline()
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(system_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(system_fps / 50.0, 3),
+        "mean_fps_incl_recompiles": round(mean_fps, 2),
         "device_pipeline_fps": round(pipeline_fps, 2),
         "frames_ok": n_ok,
+        "dispatch_rtt_ms": round(rtt_ms, 3),
     }))
 
 

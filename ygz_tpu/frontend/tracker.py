@@ -136,6 +136,7 @@ class MonoTracker:
         self._vel = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
 
         self._cache = np.zeros(0, np.int64)   # map point ids in direct cache
+        self._cache_dev = None                # device snapshot of their state
         self.debug = {}
         from ..utils.profiling import StageTimer
         self.timer = StageTimer()   # per-stage wall-clock (SURVEY §5 gap)
@@ -431,6 +432,10 @@ class MonoTracker:
                 jnp.asarray(self._last_valid), self.intr,
                 jnp.eye(3), jnp.zeros(3),
                 levels=tuple(range(cfg.n_levels - 1, 0, -1)), iters=10)
+            # ONE device->host transfer for everything this step needs: each
+            # separate readback costs a full round-trip, which dominates on
+            # a networked accelerator (the axon tunnel here)
+            res = jax.device_get(res)
             self.timer.total["sparse_align"] += time.perf_counter()
             self.timer.count["sparse_align"] += 1
             self.debug["align_n"] = int(res.n_meas)
@@ -441,48 +446,37 @@ class MonoTracker:
                 t_pred = R_cl @ self._last_t + t_cl
 
         # ---- direct local-map tracking ------------------------------------
-        # the gather holds the map lock so the async mapper never commits a
-        # half-written map state under us (SURVEY §5: snapshot/commit
-        # replaces the reference's Map::mMutexMapUpdate)
+        # the cache gather lives ON DEVICE (uploaded once per rebuild, not
+        # per frame — ~0.9 MB of patches would otherwise cross the link
+        # every frame); the rebuild holds the map lock so the async mapper
+        # never commits a half-written map state under us (SURVEY §5:
+        # snapshot/commit replaces the reference's Map::mMutexMapUpdate)
         with self._map_lock:
             if len(self._cache) < cfg.cache_refill_below:
                 self._rebuild_cache()
             ids = self._cache
             n = len(ids)
-            cap = cfg.max_track
-            pad = cap - n
-            g = lambda a: np.concatenate(
-                [a[ids], np.zeros((pad,) + a.shape[1:], a.dtype)]) \
-                if pad > 0 else a[ids][:cap]
-            pvalid = np.concatenate([smap.pt_valid[ids],
-                                     np.zeros(pad, bool)]) if pad > 0 \
-                else smap.pt_valid[ids][:cap]
-            gathered = (g(smap.pt_xyz), g(smap.pt_patch), g(smap.pt_ref_uv),
-                        g(smap.pt_ref_level), g(smap.pt_ref_R),
-                        g(smap.pt_ref_t))
+            dev = self._cache_dev
 
-        g_xyz, g_patch, g_ruv, g_rlvl, g_rR, g_rt = gathered
         self.timer.total["direct_track"] -= time.perf_counter()
         dres = track_local_map_direct(
             pyr, jnp.asarray(R_pred.astype(np.float32)),
             jnp.asarray(t_pred.astype(np.float32)),
-            jnp.asarray(g_xyz), jnp.asarray(pvalid),
-            jnp.asarray(g_patch), jnp.asarray(g_ruv),
-            jnp.asarray(g_rlvl), jnp.asarray(g_rR),
-            jnp.asarray(g_rt), self.intr,
+            *dev, self.intr,
             n_levels=cfg.n_levels)
 
+        dres = jax.device_get(dres)   # single round-trip for all outputs
         n_inliers = int(dres.n_inliers)
         self.timer.total["direct_track"] += time.perf_counter()
         self.timer.count["direct_track"] += 1
         self.debug.update(
-            n_cache=n, n_visible=int(np.asarray(dres.visible)[:n].sum()),
-            n_aligned=int(np.asarray(dres.aligned)[:n].sum()),
+            n_cache=n, n_visible=int(dres.visible[:n].sum()),
+            n_aligned=int(dres.aligned[:n].sum()),
             n_inliers=n_inliers)
-        tracked = np.asarray(dres.tracked)[:n]
-        visible = np.asarray(dres.visible)[:n]
-        uv = np.asarray(dres.uv)[:n]
-        lvl = np.asarray(dres.level)[:n]
+        tracked = dres.tracked[:n]
+        visible = dres.visible[:n]
+        uv = dres.uv[:n]
+        lvl = dres.level[:n]
         self.debug["viz_uv"] = uv[tracked]  # for viz.draw_tracked_frame
 
         # update found/visible statistics
@@ -624,7 +618,9 @@ class MonoTracker:
 
     def _rebuild_cache(self):
         """Refill the direct cache with local-map points (reference
-        SearchLocalPointsDirect cache widening, src/Tracking.cc:2334-2406)."""
+        SearchLocalPointsDirect cache widening, src/Tracking.cc:2334-2406)
+        and upload the per-point tracking state to the device once — the
+        per-frame direct tracker then reads it in place."""
         smap = self.map
         if smap.n_kf == 0:
             return
@@ -635,6 +631,27 @@ class MonoTracker:
             order = np.argsort(-smap.pt_obs[pts])
             pts = pts[order[: self.cfg.max_track]]
         self._cache = pts
+        self._upload_cache()
+
+    def _upload_cache(self):
+        """Snapshot the cached points' device-side tracking state (xyz,
+        stored ref patches, capture geometry). Called under the map lock."""
+        smap = self.map
+        ids = self._cache
+        cap = self.cfg.max_track
+        n = len(ids)
+        pad = cap - n
+
+        def g(a):
+            if pad > 0:
+                return np.concatenate(
+                    [a[ids], np.zeros((pad,) + a.shape[1:], a.dtype)])
+            return a[ids][:cap]
+
+        pvalid = g(smap.pt_valid)
+        self._cache_dev = tuple(jnp.asarray(x) for x in (
+            g(smap.pt_xyz), pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
+            g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t)))
 
     # ------------------------------------------------ feature-method fallbacks
     def _match_points_to_feats(self, pt_ids, R, t, f, radius, ratio=0.9,

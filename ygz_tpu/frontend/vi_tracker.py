@@ -461,6 +461,8 @@ class MonoViTracker(MonoTracker):
         self._run_local_ba(smap, kfs[-1])
         R_cw, t_cw = self._body_to_cam(*[self._ns[i] for i in (2, 0)])
         self._last_R, self._last_t = R_cw, t_cw
+        # the device-resident direct cache holds pre-rescale geometry
+        self._rebuild_cache()
 
     # ------------------------------------------------------- VI window BA
     W_CAP = 10   # reference LocalMapping.LocalWindowSize default

@@ -24,6 +24,24 @@ def make_texture(size=1600, seed=0, blur_sigma=2.0):
     return np.clip(np.asarray(t), 0, 255).astype(np.float32)
 
 
+def _bilinear_np(img, uv):
+    """Host bilinear sampling, semantics matching ops.image.sample_bilinear
+    (coordinates clamped to the valid interpolation domain)."""
+    H, W = img.shape
+    x = np.clip(uv[..., 0], 0.0, W - 1.001)
+    y = np.clip(uv[..., 1], 0.0, H - 1.001)
+    x0 = np.floor(x).astype(np.int32)
+    y0 = np.floor(y).astype(np.int32)
+    fx = (x - x0).astype(np.float32)
+    fy = (y - y0).astype(np.float32)
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * i00 + fx * i01)
+            + fy * ((1 - fx) * i10 + fx * i11)).astype(np.float32)
+
+
 class PlaneScene:
     """Camera intrinsics + textured surface; render views at arbitrary poses.
 
@@ -69,8 +87,11 @@ class PlaneScene:
             lam = (z - o_w[2]) / d_w[..., 2]
         return lam
 
-    def render(self, R, t):
-        """Render the view from pose (R,t) (world->cam). Returns [h,w] f32."""
+    def render(self, R, t, backend: str = "jax"):
+        """Render the view from pose (R,t) (world->cam). Returns [h,w] f32.
+        backend="numpy" keeps sampling on the host (same clamped-bilinear
+        semantics as ops.image.sample_bilinear) — used by bench.py so
+        pre-rendering never round-trips a remote device."""
         R = np.asarray(R, np.float32)
         t = np.asarray(t, np.float32)
         ys, xs = np.mgrid[0: self.h, 0: self.w].astype(np.float32)
@@ -83,6 +104,8 @@ class PlaneScene:
         lam = self._intersect(o_w, d_w)
         Xw = o_w[None, None, :] + lam[..., None] * d_w
         uv_tex = self.world_to_tex(Xw)
+        if backend == "numpy":
+            return _bilinear_np(self.tex, uv_tex)
         img = imops.sample_bilinear(jnp.asarray(self.tex),
                                     jnp.asarray(uv_tex))
         return np.asarray(img)
