@@ -26,6 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent jit cache: compiles from any previous run (tests, earlier bench
+# invocations) are reused, so the warmup measures the pipeline rather than
+# XLA compile time over the device tunnel
+jax.config.update("jax_compilation_cache_dir", "/tmp/ygz_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 
 def bench_device_pipeline():
     from ygz_tpu.ops.image import build_pyramid

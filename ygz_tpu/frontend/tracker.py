@@ -895,19 +895,24 @@ class MonoTracker:
         smap = self.map
         with self.timer.stage("mapping_tail"), self._map_lock:
             # triangulate new points against recent covisible keyframes
-            cov = smap.covisibility(kf)
-            partners = list(np.argsort(-cov)[:3])
-            for prev in partners:
-                if cov[prev] > 0 or prev == self._last_kf:
-                    self.mapper.create_new_points(smap, kf, int(prev), pyr)
+            with self.timer.stage("mt_triangulate"):
+                cov = smap.covisibility(kf)
+                partners = list(np.argsort(-cov)[:3])
+                for prev in partners:
+                    if cov[prev] > 0 or prev == self._last_kf:
+                        self.mapper.create_new_points(smap, kf, int(prev),
+                                                      pyr)
             # grow observations + fuse duplicates across the neighborhood
             # (two-hop SearchInNeighbors, both directions)
-            self.mapper.search_in_neighbors(smap, kf)
-            smap.assign_parent(kf)
-            self.mapper.update_distinctive_descriptors(smap, kf)
-            self._run_local_ba(smap, kf)
-            self.mapper.cull_points(smap)
-            n_culled = self._cull_keyframes(smap, kf)
+            with self.timer.stage("mt_fuse"):
+                self.mapper.search_in_neighbors(smap, kf)
+                smap.assign_parent(kf)
+                self.mapper.update_distinctive_descriptors(smap, kf)
+            with self.timer.stage("mt_local_ba"):
+                self._run_local_ba(smap, kf)
+            with self.timer.stage("mt_cull"):
+                self.mapper.cull_points(smap)
+                n_culled = self._cull_keyframes(smap, kf)
             if n_culled and self.bow_index is not None:
                 m = min(len(self.bow_index.kf_valid), smap.n_kf)
                 self.bow_index.kf_valid[:m] &= smap.kf_valid[:m]
@@ -915,9 +920,10 @@ class MonoTracker:
             # refresh direct patches for ALL points bound to this KF with
             # the POST-BA geometry — stale capture geometry after BA was the
             # main divergence mode of the first implementation
-            slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
-            ids = smap.kf_feat_pt[kf, slots]
-            self.mapper.refresh_patches(smap, kf, pyr, ids, slots)
+            with self.timer.stage("mt_patches"):
+                slots = np.nonzero(smap.kf_feat_pt[kf] >= 0)[0]
+                ids = smap.kf_feat_pt[kf, slots]
+                self.mapper.refresh_patches(smap, kf, pyr, ids, slots)
 
             # place recognition: index this KF, attempt loop closure
             if self.bow_index is not None:
