@@ -7,6 +7,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS even where the env var alone is ignored (a registered
+# PJRT plugin can take precedence over it — seen with the axon TPU tunnel);
+# applying it through jax.config makes `JAX_PLATFORMS=cpu python mono_*.py`
+# reliable everywhere.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 

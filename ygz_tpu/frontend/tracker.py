@@ -571,14 +571,32 @@ class MonoTracker:
         return (c1b or c1c) and c2
 
     def _need_close_points(self, t_ids, R_cur, t_cur,
-                           min_close: int = 100) -> bool:
-        """Stereo/RGB-D c1c term: too few tracked close points (z < ThDepth)
-        — a new KF would seed fresh close points from depth (reference
-        src/Tracking.cc:1445-1460)."""
+                           min_close: int = 100,
+                           min_candidates: int = 70) -> bool:
+        """Stereo/RGB-D c1c term (reference src/Tracking.cc:1445-1460):
+        tracked close points (z < ThDepth) scarce AND enough close-depth
+        candidates exist that a new KF would actually seed some. The
+        reference counts untracked FEATURES with depth < ThDepth; on the
+        direct path no features exist per frame, so the candidate count is
+        estimated from the depth source itself (see _close_candidates)."""
         if not self._depth_source_available() or len(t_ids) == 0:
             return False
         Xc = self.map.pt_xyz[t_ids] @ np.asarray(R_cur).T + np.asarray(t_cur)
-        return int((Xc[:, 2] < self._th_depth()).sum()) < min_close
+        if int((Xc[:, 2] < self._th_depth()).sum()) >= min_close:
+            return False
+        return self._close_candidates() >= min_candidates
+
+    def _close_candidates(self) -> int:
+        """Estimated count of feature-rate close-depth candidates in the
+        current frame. RGB-D: coarse-grid sample of the depth map scaled to
+        the feature budget. Stereo (no depth map): assume candidates exist
+        (the KF's disparity search decides)."""
+        depth = getattr(self, "_cur_depth", None)
+        if depth is None or not hasattr(depth, "shape"):
+            return 1 << 30
+        d = np.asarray(depth)[::16, ::16]
+        frac = float(((d > 0.1) & (d < self._th_depth())).mean())
+        return int(frac * self.cfg.n_features)
 
     def _kf_time_gap(self, ts) -> bool:
         """IMU cTimeGap hook (reference: >0.5 s since last KF under VIO)."""
@@ -739,18 +757,28 @@ class MonoTracker:
         does (Tracking::TrackWithMotionModel src/Tracking.cc:1152-1211)."""
         with self._map_lock:
             ids = self._cache.copy()
-        pt_ids = slots = None
+        best_n, best_res = 0, None
         for radius in (15.0, 30.0):
             pt_ids, slots = self._match_points_to_feats(
                 ids, R_pred, t_pred, f, radius=radius, ratio=0.9)
-            if len(pt_ids) >= min_matches:
-                break
-        if pt_ids is None or len(pt_ids) < min_matches:
+            if len(pt_ids) < min_matches:
+                continue
+            res, _, _ = self._pose_opt_matches(pt_ids, slots, f,
+                                               R_pred, t_pred)
+            n_inl = int(np.asarray(res.n_inliers))
+            if n_inl > best_n:
+                best_n, best_res = n_inl, res
+            # Widen the window not only when matches are SCARCE (the
+            # reference's retry trigger) but also when the pose-opt
+            # consensus is WEAK: with a badly-off prediction the narrow
+            # window contains only spurious corners, which can still form
+            # >=min_matches mutual descriptor matches whose GN consensus is
+            # junk. A healthy window has a large inlier fraction.
+            if n_inl >= min_inliers and n_inl >= 0.6 * len(pt_ids):
+                return self._pose_np(res.R, res.t)
+        if best_res is None or best_n < min_inliers:
             return None
-        res, inl, _ = self._pose_opt_matches(pt_ids, slots, f, R_pred, t_pred)
-        if int(np.asarray(res.n_inliers)) < min_inliers:
-            return None
-        return self._pose_np(res.R, res.t)
+        return self._pose_np(best_res.R, best_res.t)
 
     def _track_reference_keyframe(self, f, min_matches: int = 15,
                                   min_inliers: int = 10):
@@ -1122,6 +1150,20 @@ class RgbdTracker(MonoTracker):
     (reference Tracking::StereoInitialization src/Tracking.cc:745-793), then
     the same direct pipeline; new map points are depth-seeded at keyframes
     with triangulation as a complement for far features."""
+
+    # The reference's RGB-D mode always configures Camera.bf (TUM yaml
+    # Camera.bf=40) and converts depth to a pseudo-stereo u_r so every
+    # depth measurement becomes a 3-D BA edge (Frame::ComputeStereoFromRGBD
+    # src/Frame.cc:685-701). Without those edges local BA is mono-only and
+    # its scale gauge is pinned only by the fixed ring — scale then drifts
+    # a few % over tens of keyframes. When the caller leaves bf unset we
+    # synthesize a virtual baseline so depth still anchors scale in BA.
+    VIRTUAL_BASELINE_M = 0.08
+
+    def __init__(self, cam: cam_mod.Camera, cfg: TrackerConfig = None):
+        if cam.bf <= 0:
+            cam = cam._replace(bf=self.VIRTUAL_BASELINE_M * cam.fx)
+        super().__init__(cam, cfg)
 
     def _try_initialize(self, pyr, ts) -> bool:
         if self._cur_depth is None:
