@@ -88,14 +88,16 @@ def test_ladder_survives_direct_failure(tracked, monkeypatch):
     import ygz_tpu.frontend.tracker as tracker_mod
     tr, scene, poses = tracked
     i = 15
-    real = tracker_mod.track_local_map_direct
+    real = tracker_mod.frame_step
 
     def broken(*a, **kw):
-        res = real(*a, **kw)
-        return res._replace(n_inliers=jnp.asarray(0),
-                            tracked=jnp.zeros_like(res.tracked))
+        # the direct tracker runs inside the fused frame_step; zero its
+        # inlier report so the host sees a direct-tracking failure
+        carry, out = real(*a, **kw)
+        return carry, out._replace(n_inliers=jnp.asarray(0),
+                                   tracked=jnp.zeros_like(out.tracked))
 
-    monkeypatch.setattr(tracker_mod, "track_local_map_direct", broken)
+    monkeypatch.setattr(tracker_mod, "frame_step", broken)
     state, R, t = tr.track(scene.render(*poses[i]), ts=i * 0.05)
     monkeypatch.undo()
     assert state == State.OK, "ladder did not rescue direct-tracking failure"

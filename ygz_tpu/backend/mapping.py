@@ -22,6 +22,25 @@ from ..ops import matching
 BA_P = 8       # local BA pose capacity
 BA_L = 2048    # landmark capacity
 BA_O = 4096    # observation capacity
+PATCH_CAP = 512  # fixed batch size for patch capture / re-triangulation
+#                  (all device calls below pad to this so every problem
+#                  shape compiles exactly once — recompiles through the
+#                  device tunnel cost seconds each, SURVEY §7.3)
+
+
+@jax.jit
+def _retriangulate(PA, PB, uvA, uvB, RA, tA, RB, tB, K, med_depth, vmask):
+    """Re-triangulate PATCH_CAP padded pairs after subpixel refinement and
+    re-run the acceptance gates. Fixed-shape so it compiles once."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    X2 = triangulate_dlt(PA, PB, uvA, uvB)
+    good, _ = triangulation_checks(
+        RA, tA, RB, tB, X2, uvA, uvB, fx, fy, cx, cy,
+        sigma2=1.0, reproj_chi2=CHI2_MONO, min_parallax_cos=0.99996)
+    zA = (X2 @ RA.T + tA)[:, 2]
+    good = (good & vmask & (zA > 0.05 * med_depth)
+            & (zA < 20.0 * med_depth))
+    return X2, good
 
 
 def _fundamental_from_poses(RA, tA, RB, tB, K):
@@ -161,27 +180,25 @@ class LocalMapper:
                 jnp.asarray(uvA), jnp.asarray(lvlA),
                 jnp.asarray(RA_), jnp.asarray(tA_),
                 self.intr, n_levels=self.n_levels)
-            aligned = np.asarray(dres.aligned)[:n]
-            uvB_ref = np.asarray(dres.uv)[:n]
             PA = self.K @ np.hstack([smap.kf_R[kf_new],
                                      smap.kf_t[kf_new][:, None]])
             PB = self.K @ np.hstack([smap.kf_R[kf_prev],
                                      smap.kf_t[kf_prev][:, None]])
-            X2 = np.asarray(triangulate_dlt(
+            # fixed-shape jitted re-triangulation over the padded batch
+            # (slicing to n here would compile a fresh program per distinct
+            # match count — the round-2 recompile storm)
+            X2, good2 = _retriangulate(
                 jnp.asarray(PA.astype(np.float32)),
                 jnp.asarray(PB.astype(np.float32)),
-                jnp.asarray(uvA[:n]), jnp.asarray(uvB_ref)))
-            good2, _ = triangulation_checks(
+                jnp.asarray(uvA), dres.uv,
                 jnp.asarray(smap.kf_R[kf_new]), jnp.asarray(smap.kf_t[kf_new]),
                 jnp.asarray(smap.kf_R[kf_prev]),
                 jnp.asarray(smap.kf_t[kf_prev]),
-                jnp.asarray(X2), jnp.asarray(uvA[:n]), jnp.asarray(uvB_ref),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                sigma2=1.0, reproj_chi2=CHI2_MONO,
-                min_parallax_cos=0.99996)
-            good2 = np.asarray(good2) & aligned
-            zA = (X2 @ smap.kf_R[kf_new].T + smap.kf_t[kf_new])[:, 2]
-            good2 &= (zA > 0.05 * med_depth) & (zA < 20.0 * med_depth)
+                jnp.asarray(self.K.astype(np.float32)),
+                jnp.float32(med_depth),
+                jnp.asarray(vmask) & dres.aligned)
+            X2 = np.asarray(X2)[:n]
+            good2 = np.asarray(good2)[:n]
             keep = np.nonzero(good2)[0]
             slotsA = slotsA[keep]
             slotsB = slotsB[keep]
@@ -234,9 +251,20 @@ class LocalMapper:
         uv = uv[ok]
         lvl = lvl[ok]
         from ..frontend.direct_tracker import capture_ref_patches
-        patches = np.asarray(capture_ref_patches(
-            tuple(pyramid), jnp.asarray(uv), jnp.asarray(lvl),
-            n_levels=self.n_levels))
+        # fixed-size padded chunks: capture_ref_patches compiles once per
+        # (image shape, PATCH_CAP) instead of once per point count
+        chunks = []
+        for s in range(0, len(pt_ids), PATCH_CAP):
+            uv_pad = np.zeros((PATCH_CAP, 2), np.float32)
+            lv_pad = np.zeros(PATCH_CAP, np.int32)
+            m = min(PATCH_CAP, len(pt_ids) - s)
+            uv_pad[:m] = uv[s: s + m]
+            lv_pad[:m] = lvl[s: s + m]
+            p = np.asarray(capture_ref_patches(
+                tuple(pyramid), jnp.asarray(uv_pad), jnp.asarray(lv_pad),
+                n_levels=self.n_levels))
+            chunks.append(p[:m])
+        patches = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
         smap.pt_patch[pt_ids] = patches
         smap.pt_ref_uv[pt_ids] = uv
         smap.pt_ref_level[pt_ids] = lvl

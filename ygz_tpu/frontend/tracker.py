@@ -37,6 +37,7 @@ from ..ops.image import build_pyramid
 from .extractor import OrbExtractor, describe_at
 from .sparse_align import sparse_image_align
 from .direct_tracker import track_local_map_direct, capture_ref_patches
+from .framestep import frame_step, make_carry
 
 
 class State(enum.Enum):
@@ -137,6 +138,13 @@ class MonoTracker:
 
         self._cache = np.zeros(0, np.int64)   # map point ids in direct cache
         self._cache_dev = None                # device snapshot of their state
+        # lock-free published tracking snapshot: (cache ids, device cache,
+        # ref kf id, ref kf pose). The tracking hot path reads ONLY this
+        # (one atomic attribute read); the mapping tail republishes it after
+        # commits — tracking never contends on the map lock per frame.
+        self._snap = None
+        # device-resident per-frame carry (framestep.FrameCarry)
+        self._carry = None
         self.debug = {}
         from ..utils.profiling import StageTimer
         self.timer = StageTimer()   # per-stage wall-clock (SURVEY §5 gap)
@@ -219,10 +227,10 @@ class MonoTracker:
         `depth`: optional [H,W] metric depth map (RGB-D mode)."""
         self.frame_id += 1
         self._cur_depth = depth
-        with self.timer.stage("pyramid"):
-            pyr = self._build_pyramid(img)
 
         if self.state == State.NOT_INITIALIZED:
+            with self.timer.stage("pyramid"):
+                pyr = self._build_pyramid(img)
             ok = self._try_initialize(pyr, ts)
             R = self.map.kf_R[self.map.n_kf - 1] if ok else np.eye(3)
             t = self.map.kf_t[self.map.n_kf - 1] if ok else np.zeros(3)
@@ -230,13 +238,15 @@ class MonoTracker:
             return self.state, R, t
 
         if self.state == State.LOST:
+            with self.timer.stage("pyramid"):
+                pyr = self._build_pyramid(img)
             if self.cfg.enable_relocalization and self._relocalize(pyr):
                 self.state = State.OK
             else:
                 self._log(ts, self._last_R, self._last_t)
                 return self.state, self._last_R, self._last_t
 
-        ok, R, t = self._track_frame(pyr, ts)
+        ok, R, t = self._track_frame(img, ts)
         self._log(ts, R, t)
         return self.state, R, t
 
@@ -244,10 +254,12 @@ class MonoTracker:
         R = np.array(R, np.float32)
         t = np.array(t, np.float32)
         ref, R_r, t_r = -1, None, None
-        if self.state == State.OK and self._last_kf >= 0:
-            with self._map_lock:
-                ref = self._last_kf
-                Rk, tk = self.map.kf_R[ref], self.map.kf_t[ref]
+        snap = self._snap
+        if self.state == State.OK and snap is not None and snap[2] >= 0:
+            # relative pose against the ref KF pose AS TRACKED AGAINST (the
+            # published snapshot): recovery composes onto the KF's future
+            # pose, so BA/loop corrections propagate into the trajectory
+            ref, Rk, tk = snap[2], snap[3], snap[4]
             # T_cr = T_cw(frame) * inv(T_cw(ref))
             R_r = R @ Rk.T
             t_r = t - R_r @ tk
@@ -401,82 +413,64 @@ class MonoTracker:
         del R0, t0
 
     # ------------------------------------------------------------- main track
-    def _track_frame(self, pyr, ts):
+    def _track_frame(self, img, ts):
+        """Steady-state tracked frame: ONE fused device dispatch + ONE small
+        readback (framestep.frame_step). The sparse alignment, direct
+        local-map tracking and velocity update all run device-resident; the
+        host only does O(#points) numpy bookkeeping on the readback."""
         cfg = self.cfg
         smap = self.map
 
-        # motion-model prediction: T_pred = T_vel * T_last (the mono-VI
-        # subclass overrides _predict_pose with IMU propagation,
-        # reference PredictNavStateByIMU src/Tracking.cc:2078)
+        # external pose prediction hook (mono-VI: IMU propagation,
+        # reference PredictNavStateByIMU src/Tracking.cc:2078); the fused
+        # step falls back to the on-device velocity model otherwise
         pred = self._predict_pose()
-        if pred is not None:
-            R_pred, t_pred = pred
+        use_pred = pred is not None
+        if use_pred:
+            pR = np.asarray(pred[0], np.float32)
+            pt_ = np.asarray(pred[1], np.float32)
         else:
-            Rv, tv = self._vel
-            R_pred = Rv @ self._last_R
-            t_pred = Rv @ self._last_t + tv
+            pR = np.eye(3, dtype=np.float32)
+            pt_ = np.zeros(3, np.float32)
 
-        # ---- sparse image alignment from last frame ----------------------
-        self.debug = {"n_align_in": int(self._last_valid.sum())}
-        n_align = self.debug["n_align_in"]
-        if n_align >= cfg.min_align_points:
-            # init from identity, not the velocity model: the coarse-level
-            # basin covers normal inter-frame motion, and seeding with the
-            # velocity couples extrapolated error into the measurement loop
-            # (velocity extrapolation doubles pose error per frame; with any
-            # under-correction downstream the loop gain exceeds 1)
-            self.timer.total["sparse_align"] -= time.perf_counter()
-            res = sparse_image_align(
-                self._last_pyr, pyr,
-                jnp.asarray(self._last_uv), jnp.asarray(self._last_Xc),
-                jnp.asarray(self._last_valid), self.intr,
-                jnp.eye(3), jnp.zeros(3),
-                levels=tuple(range(cfg.n_levels - 1, 0, -1)), iters=10)
-            # ONE device->host transfer for everything this step needs: each
-            # separate readback costs a full round-trip, which dominates on
-            # a networked accelerator (the axon tunnel here)
-            res = jax.device_get(res)
-            self.timer.total["sparse_align"] += time.perf_counter()
-            self.timer.count["sparse_align"] += 1
-            self.debug["align_n"] = int(res.n_meas)
-            self.debug["align_res"] = float(res.mean_res)
-            if int(res.n_meas) >= cfg.min_align_points:
-                R_cl, t_cl = self._pose_np(res.R, res.t)
-                R_pred = R_cl @ self._last_R
-                t_pred = R_cl @ self._last_t + t_cl
-
-        # ---- direct local-map tracking ------------------------------------
-        # the cache gather lives ON DEVICE (uploaded once per rebuild, not
-        # per frame — ~0.9 MB of patches would otherwise cross the link
-        # every frame); the rebuild holds the map lock so the async mapper
-        # never commits a half-written map state under us (SURVEY §5:
-        # snapshot/commit replaces the reference's Map::mMutexMapUpdate)
-        with self._map_lock:
-            if len(self._cache) < cfg.cache_refill_below:
+        # cache refill (lock-free read of the published snapshot; rebuild
+        # only when the mapper is idle so we never contend with the tail)
+        snap = self._snap
+        if len(snap[0]) < cfg.cache_refill_below and self._tail_idle():
+            with self._map_lock:
                 self._rebuild_cache()
-            ids = self._cache
-            n = len(ids)
-            dev = self._cache_dev
+            snap = self._snap
+        ids, dev = snap[0], snap[1]
+        n = len(ids)
 
-        self.timer.total["direct_track"] -= time.perf_counter()
-        dres = track_local_map_direct(
-            pyr, jnp.asarray(R_pred.astype(np.float32)),
-            jnp.asarray(t_pred.astype(np.float32)),
-            *dev, self.intr,
-            n_levels=cfg.n_levels)
+        self.timer.total["frame_step"] -= time.perf_counter()
+        self._carry, out = frame_step(
+            jnp.asarray(img), self._carry, dev, pR, pt_, use_pred,
+            self._remap, self.intr, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor, min_align=cfg.min_align_points)
+        # ONE device->host transfer for everything this frame needs: each
+        # separate readback costs a full round-trip, which dominates on a
+        # networked accelerator (the axon tunnel here)
+        out = jax.device_get(out)
+        self.timer.total["frame_step"] += time.perf_counter()
+        self.timer.count["frame_step"] += 1
 
-        dres = jax.device_get(dres)   # single round-trip for all outputs
-        n_inliers = int(dres.n_inliers)
-        self.timer.total["direct_track"] += time.perf_counter()
-        self.timer.count["direct_track"] += 1
-        self.debug.update(
-            n_cache=n, n_visible=int(dres.visible[:n].sum()),
-            n_aligned=int(dres.aligned[:n].sum()),
-            n_inliers=n_inliers)
-        tracked = dres.tracked[:n]
-        visible = dres.visible[:n]
-        uv = dres.uv[:n]
-        lvl = dres.level[:n]
+        n_inliers = int(out.n_inliers)
+        self.debug = {
+            "n_align_in": int(out.n_align_in),
+            "align_n": int(out.align_n),
+            "align_res": float(out.align_res),
+            "n_cache": n,
+            "n_visible": int(out.visible[:n].sum()),
+            "n_aligned": int(out.tracked[:n].sum()),
+            "n_inliers": n_inliers,
+        }
+        tracked = out.tracked[:n]
+        visible = out.visible[:n]
+        uv = out.uv[:n]
+        lvl = out.level[:n]
+        R_pred = out.R_pred
+        t_pred = out.t_pred
         self.debug["viz_uv"] = uv[tracked]  # for viz.draw_tracked_frame
 
         # update found/visible statistics
@@ -484,9 +478,11 @@ class MonoTracker:
         np.add.at(smap.pt_found, ids[tracked], 1)
 
         t_ids, t_uv, t_lvl = ids[tracked], uv[tracked], lvl[tracked]
-        R_cur, t_cur = self._pose_np(dres.R, dres.t)
+        R_cur, t_cur = out.R, out.t
 
+        recovered = False  # host changed the pose -> carry must be rewritten
         if n_inliers < cfg.min_track_inliers:
+            pyr = self._carry.pyr
             # feature-method fallback ladder (reference Tracking.cc:563-577:
             # direct local-map failure -> re-extract features -> motion
             # model -> ref-KF -> feature TrackLocalMap; only then LOST)
@@ -494,6 +490,7 @@ class MonoTracker:
             if fb is not None:
                 R_cur, t_cur, t_ids, t_uv, t_lvl = fb
                 n_inliers = len(t_ids)
+                recovered = True
                 self.debug["n_inliers_feat"] = n_inliers
                 np.add.at(smap.pt_found, t_ids, 1)
                 np.add.at(smap.pt_visible, t_ids, 1)
@@ -517,12 +514,15 @@ class MonoTracker:
         fused = self._fuse_pose(R_cur, t_cur, t_ids, t_uv, t_lvl)
         if fused is not None:
             R_cur, t_cur = fused
+            recovered = True
         self.state = State.OK
 
-        # velocity model update
+        # velocity model host mirror (the device carry tracks its own copy;
+        # this one seeds carry rewrites on the rare host-pose paths)
         Rl_inv = self._last_R.T
-        self._vel = (R_cur @ Rl_inv,
-                     t_cur - (R_cur @ Rl_inv) @ self._last_t)
+        self._vel = (np.asarray(R_cur @ Rl_inv, np.float32),
+                     np.asarray(t_cur - (R_cur @ Rl_inv) @ self._last_t,
+                                np.float32))
 
         # NOTE: no single-frame-failure eviction. Evicting points that
         # disagree with the current pose estimate self-selects the cache for
@@ -536,15 +536,30 @@ class MonoTracker:
         # ---- keyframe decision -------------------------------------------
         need_kf = self._need_new_keyframe(ts, n_inliers, t_ids, R_cur, t_cur)
         if need_kf:
+            pyr = self._carry.pyr
             with self.timer.stage("keyframe"):
                 R_ba, t_ba = self._create_keyframe(pyr, ts, R_cur, t_cur,
                                                    t_ids, t_uv, t_lvl)
             # adopt the BA-corrected pose for this frame
             R_cur, t_cur = R_ba, t_ba
+            recovered = True
 
-        # ---- record last-frame state for next sparse align ----------------
-        self._set_last_frame(pyr, R_cur, t_cur, cache_uv=(t_ids, t_uv))
+        if recovered:
+            # host changed the pose (fallback / fusion / KF-BA) or the cache
+            # snapshot was swapped: rebuild the device carry from host state
+            self._set_last_frame(self._carry.pyr, R_cur, t_cur,
+                                 cache_uv=(t_ids, t_uv))
+        else:
+            # common case: the carry already advanced on device; only the
+            # cheap host mirrors need updating
+            self._last_R = np.asarray(R_cur, np.float32)
+            self._last_t = np.asarray(t_cur, np.float32)
         return True, R_cur, t_cur
+
+    def _tail_idle(self) -> bool:
+        """True when no mapping-tail work is queued or in flight."""
+        return (self._map_worker is None
+                or self._map_queue.unfinished_tasks == 0)
 
     def _need_new_keyframe(self, ts, n_inliers, t_ids, R_cur, t_cur) -> bool:
         """Keyframe decision (reference NeedNewKeyFrame,
@@ -560,7 +575,7 @@ class MonoTracker:
             return False
         if gap >= cfg.kf_max_gap:               # c1a: hard cap
             return True
-        mapper_idle = self._map_worker is None or self._map_queue.empty()
+        mapper_idle = self._tail_idle()
         if self._kf_time_gap(ts) and mapper_idle:   # cTimeGap (VIO)
             return True
         c1b = mapper_idle
@@ -568,7 +583,14 @@ class MonoTracker:
                or self._need_close_points(t_ids, R_cur, t_cur))
         c2 = (n_inliers < cfg.kf_ratio * self._kf_ref_tracked
               or n_inliers < 50)
-        return (c1b or c1c) and c2
+        if not (c1b or c1c) or not c2:
+            return False
+        # queue-limit: when the mapper is busy, only truly weak tracking
+        # justifies blocking on a new KF (reference keeps the queue <3 and
+        # interrupts BA, src/Tracking.cc:1516-1523; our tail is one job deep)
+        if not mapper_idle and n_inliers >= 50:
+            return False
+        return True
 
     def _need_close_points(self, t_ids, R_cur, t_cur,
                            min_close: int = 100,
@@ -633,6 +655,11 @@ class MonoTracker:
         self._last_uv = uv
         self._last_Xc = Xc
         self._last_valid = valid
+        # device carry rebuild (rare host-pose path; the steady state
+        # advances the carry inside frame_step without host involvement)
+        self._carry = make_carry(pyr, self._last_R, self._last_t,
+                                 uv, Xc, valid,
+                                 Rv=self._vel[0], tv=self._vel[1])
 
     def _rebuild_cache(self):
         """Refill the direct cache with local-map points (reference
@@ -670,6 +697,20 @@ class MonoTracker:
         self._cache_dev = tuple(jnp.asarray(x) for x in (
             g(smap.pt_xyz), pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
             g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t)))
+        self._publish_snapshot()
+
+    def _publish_snapshot(self):
+        """Atomically publish the tracking snapshot (cache ids + device
+        cache + ref-KF pose). Called under the map lock; the tracking hot
+        path reads self._snap without locking."""
+        smap = self.map
+        ref = self._last_kf
+        if ref >= 0 and ref < smap.n_kf:
+            Rk, tk = smap.kf_R[ref].copy(), smap.kf_t[ref].copy()
+        else:
+            ref, Rk, tk = -1, np.eye(3, dtype=np.float32), \
+                np.zeros(3, np.float32)
+        self._snap = (self._cache, self._cache_dev, ref, Rk, tk)
 
     # ------------------------------------------------ feature-method fallbacks
     def _match_points_to_feats(self, pt_ids, R, t, f, radius, ratio=0.9,
@@ -880,16 +921,19 @@ class MonoTracker:
             "valid": np.concatenate([val_pad, nf.valid]),
         }
         feats["ur"] = self._feature_ur(feats, pyr)
-        kf = smap.add_keyframe(R, t, feats, ts=ts, frame_id=self.frame_id,
-                               pyramid=pyr)
-        smap.bind(kf, np.arange(m), tracked_ids[:m])
-        # depth-seeded map points (RGB-D / stereo-depth path; reference
-        # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
-        if self._depth_source_available():
-            self._create_depth_points(smap, kf, pyr)
-        self._last_kf = kf
-        self._last_kf_frame = self.frame_id
-        self._kf_ref_tracked = int((smap.kf_feat_pt[kf] >= 0).sum())
+        with self._map_lock:
+            kf = smap.add_keyframe(R, t, feats, ts=ts,
+                                   frame_id=self.frame_id, pyramid=pyr)
+            smap.bind(kf, np.arange(m), tracked_ids[:m])
+            # depth-seeded map points (RGB-D / stereo-depth path; reference
+            # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
+            if self._depth_source_available():
+                self._create_depth_points(smap, kf, pyr)
+            self._last_kf = kf
+            self._last_kf_frame = self.frame_id
+            self._kf_ref_tracked = int((smap.kf_feat_pt[kf] >= 0).sum())
+            # re-publish the tracking snapshot against the new reference KF
+            self._publish_snapshot()
         # pre-enqueue hook: the mono-VI tracker records the KF's IMU window
         # here so an async mapping worker sees a complete chain
         self._on_keyframe_created(kf, ts)
@@ -1139,7 +1183,8 @@ class MonoTracker:
             self._vel = (np.eye(3, dtype=np.float32),
                          np.zeros(3, np.float32))
             self._last_kf = kf
-            self._rebuild_cache()
+            with self._map_lock:
+                self._rebuild_cache()
             self._set_last_frame(pyr, R, t, cache_uv=None)
             return True
         return False
