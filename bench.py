@@ -1,21 +1,19 @@
 """Tracking benchmark on the real chip.
 
-Two numbers:
-
-  * tracking_fps_per_chip (HEADLINE) — steady-state `System.track()` over
-    rendered 752x480 frames: the FULL per-frame system including pyramid
-    build, sparse alignment, direct local-map tracking, host bookkeeping,
-    and the keyframe tail (feature extraction, triangulation, fusion, local
-    BA, culling, BoW indexing) amortized at the real keyframe rate, with the
-    async mapping worker overlapping the tail like the reference's
-    LocalMapping thread. Rendering happens before the timed loop.
-  * device_pipeline_fps — the per-frame device pipeline alone (pyramid +
-    sparse align + direct track), the round-1 metric, kept as a secondary
-    ceiling number.
+Headline: steady-state `System.track_monocular_batch()` throughput over an
+EuRoC-cadence synthetic 752x480 sequence (drone-like ~1 m/s at 20 fps: 5 cm
++ ~0.025 rad yaw per frame): the FULL per-frame system — pyramid build,
+sparse alignment, direct local-map tracking (fused as one device program per
+8-frame microbatch), host bookkeeping, and the keyframe tail (feature
+extraction, triangulation, fusion, local BA, culling, BoW) amortized at the
+real keyframe rate with the async mapping worker overlapping the tail like
+the reference's LocalMapping thread. Rendering happens before the timed
+loop; warmup (AOT compilation of every steady-state program + link-recovery
+wait, see ygz_tpu/warmup.py) is reported separately.
 
 Baseline: the reference tracks at ~20 ms/frame (~50 FPS) after its native
-FAST integration (Note.md:132, see BASELINE.md). vs_baseline = fps / 50;
-the BASELINE.json target is >3x (150 FPS).
+FAST integration (Note.md:132, BASELINE.md). vs_baseline = fps / 50; the
+BASELINE.json target is >3x (150 FPS).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -26,151 +24,185 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# persistent jit cache: compiles from any previous run (tests, earlier bench
-# invocations) are reused, so the warmup measures the pipeline rather than
-# XLA compile time over the device tunnel
+# persistent jit cache: compiles from any previous run are reused, so warmup
+# measures cache loads rather than server XLA compiles over the device tunnel
 jax.config.update("jax_compilation_cache_dir", "/tmp/ygz_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+W, H, F = 752, 480, 458.0
+BATCH = 8
 
-def bench_device_pipeline():
-    from ygz_tpu.ops.image import build_pyramid
-    from ygz_tpu.frontend.sparse_align import sparse_image_align
-    from ygz_tpu.frontend.direct_tracker import track_local_map_direct
-
-    h, w = 480, 752
-    n_levels = 4
-    n_pts = 512
-    intr = (458.0, 457.0, w / 2.0, h / 2.0)
-    rng = np.random.default_rng(0)
-
-    # smooth-ish texture so gradients are realistic
-    img_np = rng.uniform(0, 255, (h, w)).astype(np.float32)
-    k = np.ones((5, 5), np.float32) / 25.0
-    from numpy.lib.stride_tricks import sliding_window_view
-    sw = sliding_window_view(np.pad(img_np, 2, mode="edge"), (5, 5))
-    img_np = (sw * k).sum(axis=(2, 3)).astype(np.float32)
-
-    img = jnp.asarray(img_np)
-    X = np.stack([rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
-                  rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
-    uv = np.stack([intr[0] * X[:, 0] / X[:, 2] + intr[2],
-                   intr[1] * X[:, 1] / X[:, 2] + intr[3]], 1).astype(np.float32)
-    patches = jnp.asarray(rng.uniform(0, 255, (n_pts, 20, 20)).astype(np.float32))
-    Xd = jnp.asarray(X)
-    uvd = jnp.asarray(uv)
-    valid = jnp.ones(n_pts, bool)
-    lvl0 = jnp.zeros(n_pts, jnp.int32)
-    refR = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_pts, 1, 1)))
-    reft = jnp.zeros((n_pts, 3))
-    I3 = jnp.eye(3)
-    z3 = jnp.zeros(3)
-    align_levels = tuple(range(n_levels - 1, 0, -1))
-
-    def frame(img, prev_pyr):
-        pyr = build_pyramid(img, n_levels, 2.0)
-        ares = sparse_image_align(prev_pyr, pyr, uvd, Xd, valid, intr,
-                                  I3, z3, levels=align_levels, iters=10)
-        dres = track_local_map_direct(pyr, ares.R, ares.t, Xd, valid, patches,
-                                      uvd, lvl0, refR, reft, intr,
-                                      n_levels=n_levels)
-        return pyr, dres
-
-    prev_pyr = build_pyramid(img, n_levels, 2.0)
-    jax.block_until_ready(prev_pyr)
-    for _ in range(3):
-        pyr, dres = frame(img, prev_pyr)
-        jax.block_until_ready(dres)
-
-    n_frames = 30
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        prev_pyr, dres = frame(img, prev_pyr)
-    jax.block_until_ready(dres)
-    dt = time.perf_counter() - t0
-    return n_frames / dt
-
-
-def bench_system(n_frames: int = 150, warmup: int = 35, verbose: bool = False):
-    """Steady-state System.track() on an EuRoC-shaped synthetic sequence."""
-    from ygz_tpu.geometry import camera as cam_mod, lie
-    from ygz_tpu.system import System, Sensor
-    from ygz_tpu.frontend.tracker import TrackerConfig
-    from ygz_tpu.utils.synthetic import SmoothScene
-
-    scene = SmoothScene(seed=11, w=752, h=480, f=458.0, tex_size=2000)
-    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
-                              scene.w, scene.h)
-
-    def pose(i):
-        yaw = 0.03 * np.sin(i * 0.15)
-        R = np.asarray(lie.so3_exp(jnp.asarray(
-            np.array([0.0, yaw, 0.0], np.float32))))
-        c = np.array([0.02 * i, 0.1 * np.sin(i * 0.1), 0.0], np.float32)
-        return R, (-R @ c).astype(np.float32)
-
-    import sys as _sys
-    total = warmup + n_frames
-    t_r = time.perf_counter()
-    frames = [scene.render(*pose(i), backend="numpy") for i in range(total)]
-    if verbose:
-        print(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s",
-              file=_sys.stderr, flush=True)
-
-    sys_ = System(cam, Sensor.MONOCULAR,
-                  config=TrackerConfig(async_mapping=True))
-    t_w = time.perf_counter()
-    for i in range(warmup):
-        sys_.track_monocular(frames[i], timestamp=i * 0.05)
-    if verbose:
-        print(f"warmup {warmup} frames in {time.perf_counter() - t_w:.1f}s",
-              file=_sys.stderr, flush=True)
-
-    per_frame = []
-    t0 = time.perf_counter()
-    for i in range(warmup, total):
-        t1 = time.perf_counter()
-        sys_.track_monocular(frames[i], timestamp=i * 0.05)
-        per_frame.append(time.perf_counter() - t1)
-    dt = time.perf_counter() - t0
-    sys_.shutdown()  # drain the async mapping queue (outside the clock the
-    #                  reference also excludes its LocalMapping thread time)
-    n_ok = sum(1 for r in sys_.trajectory[warmup:] if r.state == "OK")
-    # the reference reports MEDIAN track time (mono_euroc_vins.cc:188-190):
-    # one-off jit compiles for late-appearing shapes (loop-closing path,
-    # larger BA buckets) land on single frames and belong to warmup, not to
-    # the steady state
-    med = float(np.median(per_frame))
-    return 1.0 / med, n_frames / dt, n_ok
+# pre-compiled RTT probe (compiling a probe mid-bench would degrade the link)
+_probe = jax.jit(lambda x: x + 1.0)
+_px = jnp.zeros(())
 
 
 def measure_rtt(reps: int = 20):
-    """Per-dispatch round-trip latency of the device link. On a local chip
-    this is ~0.1 ms; through a remote tunnel it can be tens of ms and then
-    bounds any per-frame metric — reported so the numbers are interpretable
-    against BENCH history."""
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros(())
-    jax.block_until_ready(f(x))
+    """Per-dispatch round-trip latency of the device link. Healthy ~0.1 ms;
+    degrades to 26-50 ms for minutes after server-side XLA compiles — the
+    round-2 benchmark collapse. Reported so numbers are interpretable."""
+    jax.block_until_ready(_probe(_px))
     t0 = time.perf_counter()
     for _ in range(reps):
-        jax.block_until_ready(f(x))
+        jax.block_until_ready(_probe(_px))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def euroc_pose(i):
+    """EuRoC-MH-like cadence: ~1 m/s forward-lateral sweep + yaw wobble at
+    20 fps against a scene ~5 m away (VERDICT r2 #10: the round-2 bench's
+    2 cm/frame drift was gentler than real sequences)."""
+    from ygz_tpu.geometry import lie
+
+    yaw = 0.12 * np.sin(i * 0.21)
+    pitch = 0.04 * np.sin(i * 0.13)
+    R = np.asarray(lie.so3_exp(jnp.asarray(
+        np.array([pitch, yaw, 0.0], np.float32))))
+    c = np.array([0.05 * i, 0.25 * np.sin(i * 0.09), 0.3 * np.sin(i * 0.05)],
+                 np.float32)
+    return R, (-R @ c).astype(np.float32)
+
+
+def bench_system(n_frames: int = 240, warmup_frames: int = 48,
+                 verbose: bool = False):
+    from ygz_tpu.geometry import camera as cam_mod
+    from ygz_tpu.system import System, Sensor
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    from ygz_tpu.utils.synthetic import SmoothScene
+    from ygz_tpu.warmup import warmup_tracking, wait_link_healthy
+    import sys as _sys
+
+    def log(msg):
+        if verbose:
+            print(msg, file=_sys.stderr, flush=True)
+
+    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=2400)
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy, W, H)
+    cfg = TrackerConfig(async_mapping=True, track_batch=BATCH)
+
+    total = warmup_frames + n_frames
+    t_r = time.perf_counter()
+    frames = [scene.render(*euroc_pose(i), backend="numpy")
+              for i in range(total)]
+    ts = [i * 0.05 for i in range(total)]
+    log(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s")
+
+    # ---- AOT warmup in a SUBPROCESS: XLA server compiles degrade the
+    # issuing channel's RTT for minutes (measured 0.1 -> 26-50 ms), so the
+    # compiles run on a throwaway channel and only populate the shared
+    # persistent cache; this process then loads pure cache hits ----------
+    import subprocess
+    import sys as _s
+    t_w = time.perf_counter()
+    subprocess.run(
+        [_s.executable, "-m", "ygz_tpu.warmup", "--width", str(W),
+         "--height", str(H), "--focal", str(F), "--batch", str(BATCH)],
+        cwd="/root/repo", capture_output=True, timeout=1500)
+    warmup_s = time.perf_counter() - t_w
+    rtt0 = wait_link_healthy(threshold_ms=1.0, max_wait_s=360.0)
+    log(f"warmup {warmup_s:.1f}s, link rtt {rtt0:.3f} ms")
+
+    sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
+    for i in range(0, warmup_frames, BATCH):
+        sys_.track_monocular_batch(frames[i: i + BATCH], ts[i: i + BATCH])
+
+    # ---- timed steady-state loop ----------------------------------------
+    per_chunk = []   # (n_frames_in_chunk, seconds)
+    t0 = time.perf_counter()
+    i = warmup_frames
+    while i < total:
+        t1 = time.perf_counter()
+        r = sys_.track_monocular_batch(frames[i: i + BATCH],
+                                       ts[i: i + BATCH])
+        per_chunk.append((len(r), time.perf_counter() - t1))
+        i += len(r)
+    dt = time.perf_counter() - t0
+    t_d = time.perf_counter()
+    sys_.shutdown()   # drain the async tail (reference excludes its
+    drain_s = time.perf_counter() - t_d  # LocalMapping thread time too)
+
+    n_ok = sum(1 for rec in sys_.trajectory[warmup_frames:]
+               if rec.state == "OK")
+    pf_ms = np.asarray([s / n * 1e3 for n, s in per_chunk])
+    stats = sys_.tracker.stats()
+    return {
+        "throughput_fps": n_frames / dt,
+        "p50_ms": float(np.percentile(pf_ms, 50)),
+        "p90_ms": float(np.percentile(pf_ms, 90)),
+        "max_ms": float(pf_ms.max()),
+        "warmup_s": warmup_s,
+        "drain_s": drain_s,
+        "frames_ok": n_ok,
+        "n_kf": stats["n_kf"],
+        "stage_ms": {k: round(v, 2) for k, v in stats["stage_ms"].items()},
+        "rtt_before_ms": rtt0,
+    }
+
+
+def bench_device_pipeline():
+    """Kernel-ceiling secondary number: the fused 8-frame tracking program
+    alone (pyramid + sparse align + direct track + carry chain), dispatch +
+    completion, no host bookkeeping."""
+    from ygz_tpu.frontend.framestep import frame_step_batch, make_carry
+    from ygz_tpu.ops.image import build_pyramid
+
+    intr = (F, F, W / 2.0, H / 2.0)
+    rng = np.random.default_rng(0)
+    cap = 512
+    imgs = np.stack([rng.uniform(0, 255, (H, W)).astype(np.float32)
+                     for _ in range(BATCH)])
+    X = np.stack([rng.uniform(-2, 2, cap), rng.uniform(-1.5, 1.5, cap),
+                  rng.uniform(4, 9, cap)], 1).astype(np.float32)
+    uv = np.stack([intr[0] * X[:, 0] / X[:, 2] + intr[2],
+                   intr[1] * X[:, 1] / X[:, 2] + intr[3]], 1).astype(
+                       np.float32)
+    cache = (jnp.asarray(X), jnp.ones(cap, bool),
+             jnp.asarray(rng.uniform(0, 255, (cap, 20, 20)).astype(
+                 np.float32)),
+             jnp.asarray(uv), jnp.zeros(cap, jnp.int32),
+             jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                 (cap, 1, 1))),
+             jnp.zeros((cap, 3)))
+    pyr0 = build_pyramid(jnp.asarray(imgs[0]), 4, 2.0)
+    carry = make_carry(pyr0, np.eye(3), np.zeros(3), uv, X,
+                       np.ones(cap, bool))
+    up = jnp.asarray(imgs)
+    carry, outs, _ = frame_step_batch(up, carry, cache, None, intr)
+    jax.block_until_ready(outs)
+
+    n_chunks = 12
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        up = jnp.asarray(imgs)
+        carry, outs, _ = frame_step_batch(up, carry, cache, None, intr)
+        _ = np.asarray(outs)
+    dt = time.perf_counter() - t0
+    return n_chunks * BATCH / dt
+
+
 def main():
-    rtt_ms = measure_rtt()
-    system_fps, mean_fps, n_ok = bench_system(verbose=True)
+    rtt_start = measure_rtt()
+    res = bench_system(verbose=True)
     pipeline_fps = bench_device_pipeline()
+    rtt_end = measure_rtt()
+    fps = res["throughput_fps"]
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
-        "value": round(system_fps, 2),
+        "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(system_fps / 50.0, 3),
-        "mean_fps_incl_recompiles": round(mean_fps, 2),
+        "vs_baseline": round(fps / 50.0, 3),
+        "p50_frame_ms": round(res["p50_ms"], 2),
+        "p90_frame_ms": round(res["p90_ms"], 2),
+        "max_frame_ms": round(res["max_ms"], 2),
+        "warmup_s": round(res["warmup_s"], 1),
+        "mapping_drain_s": round(res["drain_s"], 1),
         "device_pipeline_fps": round(pipeline_fps, 2),
-        "frames_ok": n_ok,
-        "dispatch_rtt_ms": round(rtt_ms, 3),
+        "frames_ok": res["frames_ok"],
+        "n_keyframes": res["n_kf"],
+        "stage_ms": res["stage_ms"],
+        "dispatch_rtt_ms": round(rtt_start, 3),
+        "rtt_after_warmup_ms": round(res["rtt_before_ms"], 3),
+        "rtt_end_ms": round(rtt_end, 3),
     }))
 
 

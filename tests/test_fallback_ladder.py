@@ -86,16 +86,20 @@ def test_ladder_survives_direct_failure(tracked, monkeypatch):
     track OK through the feature ladder (and NOT reset, even though the
     prediction is the plain velocity model)."""
     import ygz_tpu.frontend.tracker as tracker_mod
+    from ygz_tpu.frontend.framestep import N_SCALARS
     tr, scene, poses = tracked
     i = 15
     real = tracker_mod.frame_step
+    cap = tr.cfg.max_track
 
     def broken(*a, **kw):
         # the direct tracker runs inside the fused frame_step; zero its
-        # inlier report so the host sees a direct-tracking failure
-        carry, out = real(*a, **kw)
-        return carry, out._replace(n_inliers=jnp.asarray(0),
-                                   tracked=jnp.zeros_like(out.tracked))
+        # packed inlier report (n_inliers scalar + tracked block) so the
+        # host sees a direct-tracking failure
+        carry, packed = real(*a, **kw)
+        packed = packed.at[N_SCALARS - 1].set(0.0)
+        packed = packed.at[N_SCALARS: N_SCALARS + cap].set(0.0)
+        return carry, packed
 
     monkeypatch.setattr(tracker_mod, "frame_step", broken)
     state, R, t = tr.track(scene.render(*poses[i]), ts=i * 0.05)

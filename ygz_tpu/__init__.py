@@ -15,3 +15,13 @@ Design stance (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM's normal equations (J^T W J assembly, 6x6/Schur solves, patch
+# Hessians) need true float32: the TPU MXU's default bfloat16 matmul
+# passes lose ~8 mantissa bits and measurably destabilize tracking
+# (validated: the EuRoC-cadence bench loses 60% of frames in bf16,
+# 2.5% in f32 — same code, same data). The affected contractions are
+# tiny (<=6x6 blocks batched), so the 3-pass f32 MXU cost is noise.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -58,27 +58,12 @@ class FrameOut(NamedTuple):
     level: jnp.ndarray    # [cap] search level
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("intr", "n_levels", "scale_factor", "min_align",
-                     "align_iters"))
-def frame_step(img, carry: FrameCarry, cache, pred_R, pred_t, use_pred,
-               remap_grid, intr, n_levels: int = 4,
-               scale_factor: float = 2.0, min_align: int = 30,
-               align_iters: int = 10):
-    """One tracked frame, fully on device.
-
-    Args:
-      img: [H,W] new frame (uint8 or float32; cast internally).
-      carry: FrameCarry from the previous frame.
-      cache: tuple (xyz, valid, patch, ref_uv, ref_level, ref_R, ref_t) —
-        the device snapshot of the direct-tracking point cache.
-      pred_R/pred_t/use_pred: external pose prediction (IMU propagation in
-        the mono-VI tracker) selected over the velocity model when use_pred.
-      remap_grid: (map_u, map_v) undistortion remap or None.
-      intr: (fx, fy, cx, cy) — static.
-    Returns (new_carry, FrameOut).
-    """
+def _frame_core(img, carry: FrameCarry, cache, pred_R, pred_t, use_pred,
+                remap_grid, intr, n_levels: int,
+                scale_factor: float, min_align: int,
+                align_iters: int):
+    """Traceable body shared by frame_step (one frame per dispatch) and
+    frame_step_batch (lax.scan over a frame microbatch)."""
     img = img.astype(jnp.float32)
     if remap_grid is not None:
         img = remap(img, *remap_grid)
@@ -126,6 +111,108 @@ def frame_step(img, carry: FrameCarry, cache, pred_R, pred_t, use_pred,
                    n_inliers=dres.n_inliers, tracked=dres.tracked,
                    visible=dres.visible, uv=dres.uv, level=dres.level)
     return new_carry, out
+
+
+N_SCALARS = 29  # R 9 + t 3 + R_pred 9 + t_pred 3 + 5 scalar diagnostics
+
+
+def _pack_out(out: FrameOut):
+    """Flatten a FrameOut into ONE float32 vector so the host readback is a
+    single buffer (= a single link round-trip) instead of 13."""
+    f32 = jnp.float32
+    scalars = jnp.concatenate([
+        out.R.reshape(-1), out.t, out.R_pred.reshape(-1), out.t_pred,
+        jnp.stack([out.align_ok.astype(f32), out.align_n.astype(f32),
+                   out.align_res.astype(f32), out.n_align_in.astype(f32),
+                   out.n_inliers.astype(f32)])])
+    return jnp.concatenate([
+        scalars, out.tracked.astype(f32), out.visible.astype(f32),
+        out.uv.reshape(-1), out.level.astype(f32)])
+
+
+def unpack_out(vec, cap: int) -> FrameOut:
+    """Host-side inverse of _pack_out (vec is a [N_SCALARS+5*cap] numpy
+    array)."""
+    import numpy as np
+
+    s = vec[:N_SCALARS]
+    R = s[0:9].reshape(3, 3)
+    t = s[9:12]
+    R_pred = s[12:21].reshape(3, 3)
+    t_pred = s[21:24]
+    o = N_SCALARS
+    tracked = vec[o: o + cap] > 0.5
+    o += cap
+    visible = vec[o: o + cap] > 0.5
+    o += cap
+    uv = vec[o: o + 2 * cap].reshape(cap, 2)
+    o += 2 * cap
+    level = vec[o: o + cap].astype(np.int32)
+    return FrameOut(R=R, t=t, R_pred=R_pred, t_pred=t_pred,
+                    align_ok=s[24] > 0.5, align_n=s[25], align_res=s[26],
+                    n_align_in=s[27], n_inliers=s[28],
+                    tracked=tracked, visible=visible, uv=uv, level=level)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "n_levels", "scale_factor", "min_align",
+                     "align_iters"))
+def frame_step(img, carry: FrameCarry, cache, pred_R, pred_t, use_pred,
+               remap_grid, intr, n_levels: int = 4,
+               scale_factor: float = 2.0, min_align: int = 30,
+               align_iters: int = 10):
+    """One tracked frame, fully on device.
+
+    Args:
+      img: [H,W] new frame (uint8 or float32; cast internally).
+      carry: FrameCarry from the previous frame.
+      cache: tuple (xyz, valid, patch, ref_uv, ref_level, ref_R, ref_t) —
+        the device snapshot of the direct-tracking point cache.
+      pred_R/pred_t/use_pred: external pose prediction (IMU propagation in
+        the mono-VI tracker) selected over the velocity model when use_pred.
+      remap_grid: (map_u, map_v) undistortion remap or None.
+      intr: (fx, fy, cx, cy) — static.
+    Returns (new_carry, packed_out [N_SCALARS+5*cap] f32 — one readback
+    buffer; decode with unpack_out).
+    """
+    new_carry, out = _frame_core(img, carry, cache, pred_R, pred_t,
+                                 use_pred, remap_grid, intr, n_levels,
+                                 scale_factor, min_align, align_iters)
+    return new_carry, _pack_out(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "n_levels", "scale_factor", "min_align",
+                     "align_iters"))
+def frame_step_batch(imgs, carry: FrameCarry, cache, remap_grid, intr,
+                     n_levels: int = 4, scale_factor: float = 2.0,
+                     min_align: int = 30, align_iters: int = 10):
+    """Track a MICROBATCH of B consecutive frames in one dispatch.
+
+    TPU-first amortization of the host<->device link: a lax.scan chains B
+    frame steps device-side, so a whole batch costs one image upload
+    ([B,H,W]), one execute, and one readback ([B, N_SCALARS+5*cap] packed)
+    — 3 link round-trips per B frames instead of ~6 per frame. The device
+    carry chains exactly as in the per-frame path; keyframe/mapping effects
+    are applied by the host after the batch readback, i.e. they lag up to
+    B-1 frames — the same lag the reference's asynchronous LocalMapping
+    thread exhibits (/root/reference/src/System.cc:221-222).
+
+    Returns (new_carry, packed_outs [B, N_SCALARS+5*cap], pyrs) where pyrs
+    is a tuple of [B, H_l, W_l] stacked pyramid levels (device-resident;
+    the host slices out single frames only at keyframes).
+    """
+    def body(c, img):
+        c2, out = _frame_core(img, c, cache, jnp.eye(3), jnp.zeros(3),
+                              jnp.asarray(False), remap_grid, intr,
+                              n_levels, scale_factor, min_align,
+                              align_iters)
+        return c2, (_pack_out(out), c2.pyr)
+
+    new_carry, (outs, pyrs) = jax.lax.scan(body, carry, imgs)
+    return new_carry, outs, pyrs
 
 
 def make_carry(pyr, R, t, uv, Xc, valid, Rv=None, tv=None) -> FrameCarry:

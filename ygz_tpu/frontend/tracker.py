@@ -37,7 +37,8 @@ from ..ops.image import build_pyramid
 from .extractor import OrbExtractor, describe_at
 from .sparse_align import sparse_image_align
 from .direct_tracker import track_local_map_direct, capture_ref_patches
-from .framestep import frame_step, make_carry
+from .framestep import (frame_step, frame_step_batch, make_carry,
+                        unpack_out)
 
 
 class State(enum.Enum):
@@ -81,6 +82,9 @@ class TrackerConfig:
     # reference's LocalMapping thread. Tracking then returns the pre-BA
     # frame pose; BA corrections land through the shared map under a lock.
     async_mapping: bool = False
+    # microbatch size for track_batch(): B consecutive frames per device
+    # dispatch (one upload + execute + readback per chunk). 1 = per-frame.
+    track_batch: int = 8
 
 
 @dataclass
@@ -430,8 +434,12 @@ class MonoTracker:
             pR = np.asarray(pred[0], np.float32)
             pt_ = np.asarray(pred[1], np.float32)
         else:
-            pR = np.eye(3, dtype=np.float32)
-            pt_ = np.zeros(3, np.float32)
+            # device-cached constants: the mono path would otherwise upload
+            # identity pred arrays every frame (3 extra link round-trips)
+            if not hasattr(self, "_no_pred_dev"):
+                self._no_pred_dev = (jnp.eye(3), jnp.zeros(3),
+                                     jnp.asarray(False))
+            pR, pt_, use_pred = self._no_pred_dev
 
         # cache refill (lock-free read of the published snapshot; rebuild
         # only when the mapper is idle so we never contend with the tail)
@@ -448,13 +456,94 @@ class MonoTracker:
             jnp.asarray(img), self._carry, dev, pR, pt_, use_pred,
             self._remap, self.intr, n_levels=cfg.n_levels,
             scale_factor=cfg.scale_factor, min_align=cfg.min_align_points)
-        # ONE device->host transfer for everything this frame needs: each
-        # separate readback costs a full round-trip, which dominates on a
-        # networked accelerator (the axon tunnel here)
-        out = jax.device_get(out)
+        # ONE device->host transfer (a single packed buffer) for everything
+        # this frame needs: each separate readback costs a full round-trip,
+        # which dominates on a networked accelerator (the axon tunnel here)
+        out = unpack_out(np.asarray(out), cfg.max_track)
         self.timer.total["frame_step"] += time.perf_counter()
         self.timer.count["frame_step"] += 1
 
+        ok, R, t, _ = self._consume_out(out, ids, ts,
+                                        lambda: self._carry.pyr)
+        return ok, R, t
+
+    # ----------------------------------------------------------- batch track
+    def track_batch(self, imgs, timestamps):
+        """Process consecutive frames with MICROBATCHED device dispatch:
+        chunks of cfg.track_batch frames run as one lax.scan on device
+        (framestep.frame_step_batch) — one upload + one execute + one
+        readback per chunk, amortizing the host<->device link latency B-fold.
+        Keyframe/mapping effects lag up to B-1 frames (the reference's async
+        LocalMapping exhibits the same lag). Bootstrap/LOST/fallback frames
+        and any frames after an in-batch tracking failure drop to the
+        per-frame path automatically.
+
+        Returns a list of (state_name, R, t) per frame."""
+        cfg = self.cfg
+        B = cfg.track_batch
+        results = []
+        i = 0
+        n_total = len(imgs)
+        while i < n_total:
+            # per-frame path when not in steady state, when an external
+            # predictor is active (mono-VI), or for a short remainder
+            if (self.state != State.OK or B <= 1 or n_total - i < B
+                    or self._predict_pose() is not None):
+                st, R, t = self.track(imgs[i], timestamps[i])
+                results.append((st, R, t))
+                i += 1
+                continue
+
+            snap = self._snap
+            if (len(snap[0]) < cfg.cache_refill_below and self._tail_idle()):
+                with self._map_lock:
+                    self._rebuild_cache()
+                snap = self._snap
+            ids, dev = snap[0], snap[1]
+
+            self.timer.total["frame_step"] -= time.perf_counter()
+            batch = jnp.asarray(np.stack(
+                [np.asarray(f) for f in imgs[i: i + B]]))
+            self._carry, outs, pyrs = frame_step_batch(
+                batch, self._carry, dev, self._remap, self.intr,
+                n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
+                min_align=cfg.min_align_points)
+            outs = np.asarray(outs)   # ONE [B, packed] readback buffer
+            self.timer.total["frame_step"] += time.perf_counter()
+            self.timer.count["frame_step"] += B
+
+            consumed = 0
+            for b in range(B):
+                self.frame_id += 1
+                self._cur_depth = None
+                out_b = unpack_out(outs[b], cfg.max_track)
+
+                def pyr_b(b=b):
+                    return tuple(pyrs[l][b] for l in range(cfg.n_levels))
+
+                ok, R, t, clean = self._consume_out(
+                    out_b, ids, timestamps[i + b], pyr_b, batch_mode=True)
+                self._log(timestamps[i + b], R, t)
+                results.append((self.state, R, t))
+                consumed += 1
+                if not clean:
+                    # fallback/loss invalidated the rest of the chunk: the
+                    # remaining frames re-run on the per-frame path
+                    break
+            i += consumed
+        return results
+
+    def _consume_out(self, out, ids, ts, pyr_fn, batch_mode: bool = False):
+        """Host bookkeeping for one tracked frame's readback. `pyr_fn` lazily
+        provides the frame's pyramid (only evaluated on keyframe/fallback
+        frames). In batch mode the device carry is NOT rewritten on clean
+        keyframes (later batch frames were already tracked; the mapping tail
+        applies corrections map-side, mirroring the reference's async
+        LocalMapping lag); returns (ok, R, t, clean) there, with clean=False
+        when the caller must abort the rest of the microbatch."""
+        cfg = self.cfg
+        smap = self.map
+        n = len(ids)
         n_inliers = int(out.n_inliers)
         self.debug = {
             "n_align_in": int(out.n_align_in),
@@ -481,8 +570,10 @@ class MonoTracker:
         R_cur, t_cur = out.R, out.t
 
         recovered = False  # host changed the pose -> carry must be rewritten
+        aborted = False    # batch mode: later batch frames are invalid
         if n_inliers < cfg.min_track_inliers:
-            pyr = self._carry.pyr
+            pyr = pyr_fn()
+            aborted = True
             # feature-method fallback ladder (reference Tracking.cc:563-577:
             # direct local-map failure -> re-extract features -> motion
             # model -> ref-KF -> feature TrackLocalMap; only then LOST)
@@ -498,7 +589,7 @@ class MonoTracker:
                 # IMU-only fallback kept the state alive (vision-weak mode,
                 # reference src/Tracking.cc:684-698)
                 self._set_last_frame(pyr, R_pred, t_pred, cache_uv=None)
-                return True, R_pred, t_pred
+                return True, R_pred, t_pred, False
             else:
                 last_R = self._last_R
                 last_t = self._last_t
@@ -508,7 +599,7 @@ class MonoTracker:
                 if smap.n_kf <= 5 and not self.localization_only:
                     self.reset()
                     self.state = State.NOT_INITIALIZED
-                return False, last_R, last_t
+                return False, last_R, last_t, False
         # sensor-fusion hook (mono-VI: NavState optimization with the
         # tracked observations + preintegration factor)
         fused = self._fuse_pose(R_cur, t_cur, t_ids, t_uv, t_lvl)
@@ -536,7 +627,7 @@ class MonoTracker:
         # ---- keyframe decision -------------------------------------------
         need_kf = self._need_new_keyframe(ts, n_inliers, t_ids, R_cur, t_cur)
         if need_kf:
-            pyr = self._carry.pyr
+            pyr = pyr_fn()
             with self.timer.stage("keyframe"):
                 R_ba, t_ba = self._create_keyframe(pyr, ts, R_cur, t_cur,
                                                    t_ids, t_uv, t_lvl)
@@ -544,17 +635,20 @@ class MonoTracker:
             R_cur, t_cur = R_ba, t_ba
             recovered = True
 
-        if recovered:
+        if recovered and (not batch_mode or aborted):
             # host changed the pose (fallback / fusion / KF-BA) or the cache
-            # snapshot was swapped: rebuild the device carry from host state
-            self._set_last_frame(self._carry.pyr, R_cur, t_cur,
+            # snapshot was swapped: rebuild the device carry from host state.
+            # Clean in-batch keyframes skip this: the later batch frames
+            # already tracked past this one, so corrections flow through the
+            # map (async-LocalMapping semantics) instead of the carry.
+            self._set_last_frame(pyr_fn(), R_cur, t_cur,
                                  cache_uv=(t_ids, t_uv))
         else:
             # common case: the carry already advanced on device; only the
             # cheap host mirrors need updating
             self._last_R = np.asarray(R_cur, np.float32)
             self._last_t = np.asarray(t_cur, np.float32)
-        return True, R_cur, t_cur
+        return True, R_cur, t_cur, not aborted
 
     def _tail_idle(self) -> bool:
         """True when no mapping-tail work is queued or in flight."""

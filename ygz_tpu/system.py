@@ -71,6 +71,20 @@ class System:
         T[:3, 3] = t
         return state.name, T
 
+    def track_monocular_batch(self, imgs, timestamps):
+        """Microbatched monocular tracking: chunks of TrackerConfig.
+        track_batch frames run as ONE device dispatch (lax.scan), amortizing
+        the host<->device link latency B-fold — the TPU-idiomatic shape of
+        the reference's per-frame TrackMonocular loop for offline/dataset
+        processing. Returns a list of (state_name, T_cw [4,4]) per frame."""
+        out = []
+        for state, R, t in self.tracker.track_batch(imgs, timestamps):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            out.append((state.name, T))
+        return out
+
     def track_stereo(self, img_left, img_right, timestamp: float):
         """Stereo entry point (reference System::TrackStereo
         src/System.cc:247): rectified pair; Camera.bf must be set."""

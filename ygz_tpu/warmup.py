@@ -1,0 +1,137 @@
+"""Ahead-of-time compile warmup (SURVEY §7.3: "the reference 'loads
+vocabulary' at startup; we 'compile kernels'").
+
+Every steady-state device program is compiled by driving a short synthetic
+sequence through a SCRATCH System built with the SAME camera + config as the
+production one — identical shapes and jit statics (intrinsics are static
+args), so the production System hits only compile caches. With the
+persistent compilation cache enabled (jax_compilation_cache_dir), later
+processes skip even the server compiles.
+
+This matters doubly on a tunneled device: server-side XLA compilation not
+only stalls the caller for seconds per program, it degrades the link's
+dispatch round-trip latency (measured 0.1 ms -> 26-50 ms) for minutes
+afterward — a mid-run compile poisons every subsequent frame. Warmup pulls
+all of that to startup; `wait_link_healthy` then lets the link recover
+before the real-time loop starts.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def warmup_tracking(cam, cfg=None, n_frames: int = 26,
+                    verbose: bool = False) -> float:
+    """Compile the monocular tracking + mapping-tail programs for (cam,
+    cfg). Drives a synthetic textured-plane sequence at the camera's exact
+    resolution/intrinsics through a scratch System: two-view init, fused
+    per-frame steps, microbatched steps (cfg.track_batch), keyframe
+    creation, triangulation, fusion, local BA, culling and BoW indexing all
+    trace + compile here. Returns elapsed seconds."""
+    from .system import System, Sensor
+    from .frontend.tracker import TrackerConfig
+    from .utils.synthetic import SmoothScene
+
+    t0 = time.perf_counter()
+    cfg = cfg or TrackerConfig()
+    import dataclasses
+    scratch_cfg = dataclasses.replace(cfg, async_mapping=False)
+    scene = SmoothScene(seed=3, w=cam.width, h=cam.height, f=cam.fx,
+                        tex_size=1400)
+    sys_ = System(cam, Sensor.MONOCULAR, config=scratch_cfg)
+
+    def pose(i):
+        # gentle sideways sweep with yaw wobble: initializes by frame ~2,
+        # creates several keyframes over n_frames
+        yaw = 0.02 * np.sin(i * 0.3)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = -R @ np.array([0.04 * i, 0.0, 0.0], np.float32)
+        return R, t
+
+    frames = [scene.render(*pose(i), backend="numpy")
+              for i in range(n_frames)]
+    ts = [i * 0.05 for i in range(n_frames)]
+    B = max(1, scratch_cfg.track_batch)
+    # per-frame path first (bootstrap + fused single-frame program) ...
+    k = min(max(6, B), n_frames)
+    for i in range(k):
+        sys_.track_monocular(frames[i], ts[i])
+    # ... then the microbatched program
+    if B > 1:
+        i = k
+        while i + B <= n_frames:
+            sys_.track_monocular_batch(frames[i: i + B], ts[i: i + B])
+            i += B
+    sys_.shutdown()
+    dt = time.perf_counter() - t0
+    if verbose:
+        st = sys_.tracker.stats()
+        print(f"warmup: {n_frames} frames, {st['n_kf']} KFs in {dt:.1f}s")
+    return dt
+
+
+def wait_link_healthy(threshold_ms: float = 1.0, max_wait_s: float = 240.0,
+                      verbose: bool = False) -> float:
+    """Block until the device link's dispatch RTT drops below threshold_ms
+    (or max_wait_s elapses). Server-side compiles leave the tunnel degraded
+    for minutes; polling with a PRE-COMPILED probe (compiling the probe
+    inside the loop would re-poison the link). Returns the final RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    jax.block_until_ready(probe(x))   # the one probe compile, up front
+
+    def rtt(n=5):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            jax.block_until_ready(probe(x))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_start = time.perf_counter()
+    r = rtt()
+    while r > threshold_ms and time.perf_counter() - t_start < max_wait_s:
+        time.sleep(15.0)
+        r = rtt(3)
+    if verbose:
+        print(f"link rtt {r:.3f} ms after "
+              f"{time.perf_counter() - t_start:.0f}s wait")
+    return r
+
+
+def main(argv=None):
+    """CLI used by bench.py to run the compile warmup in a SUBPROCESS: the
+    compiles populate the shared persistent compilation cache, and any link
+    degradation they cause is confined to the subprocess's own channel —
+    the parent then loads pure cache hits over a healthy link."""
+    import argparse
+
+    import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=752)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--focal", type=float, default=458.0)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--cache-dir", default="/tmp/ygz_jax_cache")
+    a = p.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", a.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from .geometry import camera as cam_mod
+    from .frontend.tracker import TrackerConfig
+
+    cam = cam_mod.Camera.make(a.focal, a.focal, a.width / 2.0 - 0.5,
+                              a.height / 2.0 - 0.5, a.width, a.height)
+    cfg = TrackerConfig(async_mapping=False, track_batch=a.batch)
+    dt = warmup_tracking(cam, cfg, verbose=True)
+    print(f"warmup subprocess done in {dt:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
