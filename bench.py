@@ -82,7 +82,9 @@ def bench_system(n_frames: int = 240, warmup_frames: int = 48,
 
     total = warmup_frames + n_frames
     t_r = time.perf_counter()
-    frames = [scene.render(*euroc_pose(i), backend="numpy")
+    # uint8: camera-native, 4x fewer upload bytes than f32 (361 KB/frame)
+    frames = [np.clip(scene.render(*euroc_pose(i), backend="numpy"), 0,
+                      255).astype(np.uint8)
               for i in range(total)]
     ts = [i * 0.05 for i in range(total)]
     log(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s")
@@ -149,7 +151,7 @@ def bench_device_pipeline():
     intr = (F, F, W / 2.0, H / 2.0)
     rng = np.random.default_rng(0)
     cap = 512
-    imgs = np.stack([rng.uniform(0, 255, (H, W)).astype(np.float32)
+    imgs = np.stack([rng.uniform(0, 255, (H, W)).astype(np.uint8)
                      for _ in range(BATCH)])
     X = np.stack([rng.uniform(-2, 2, cap), rng.uniform(-1.5, 1.5, cap),
                   rng.uniform(4, 9, cap)], 1).astype(np.float32)
@@ -163,7 +165,7 @@ def bench_device_pipeline():
              jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
                                  (cap, 1, 1))),
              jnp.zeros((cap, 3)))
-    pyr0 = build_pyramid(jnp.asarray(imgs[0]), 4, 2.0)
+    pyr0 = build_pyramid(jnp.asarray(imgs[0], jnp.float32), 4, 2.0)
     carry = make_carry(pyr0, np.eye(3), np.zeros(3), uv, X,
                        np.ones(cap, bool))
     up = jnp.asarray(imgs)

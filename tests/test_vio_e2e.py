@@ -123,3 +123,66 @@ def test_mono_vi_recovers_metric_scale():
     g_est = sys.tracker.gravity_w
     cosg = np.dot(g_est, G_W) / (np.linalg.norm(g_est) * 9.81)
     assert cosg > 0.985, g_est
+
+
+@pytest.mark.slow
+def test_post_vins_init_full_chain_gba(monkeypatch):
+    """The post-VINS-init consistency pass must optimize the WHOLE keyframe
+    chain (reference GlobalBundleAdjustmentNavState over every KF,
+    src/LocalMapping.cc:615-713), not just the W=10 window: with >10 KFs at
+    init time, a NavState BA call with W >= chain length must run and the
+    pre-window KFs' rotations must receive corrections beyond the pure
+    scale change (rescale never touches rotations)."""
+    from ygz_tpu.frontend import vi_tracker as vt
+
+    scene = SmoothScene(seed=11)
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
+                              scene.w, scene.h)
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    sys = System(cam, Sensor.MONO_VI,
+                 config=TrackerConfig(kf_max_gap=4, kf_min_gap=2),
+                 vins_init_kfs=13, vins_init_time=2.0)
+    tr = sys.tracker
+
+    calls = []
+    real = vt.MonoViTracker._navstate_ba
+
+    def spy(self, smap, kf, chain, W, iters=8):
+        calls.append((list(chain), W))
+        return real(self, smap, kf, chain, W, iters=iters)
+
+    monkeypatch.setattr(vt.MonoViTracker, "_navstate_ba", spy)
+
+    pre_R = None
+    ready_at = None
+    for i in range(90):
+        t = i / FPS
+        R, tt = pose_fn(t)
+        img = scene.render(R, tt)
+        imu = synth_imu((i - 1) / FPS, t) if i > 0 else []
+        if not tr.vio_ready:
+            pre_R = tr.map.kf_R[: tr.map.n_kf].copy()
+            pre_order = list(tr._kf_order)
+        sys.track_mono_vi(img, imu, timestamp=t)
+        if ready_at is None and tr.vio_ready:
+            ready_at = i
+            break
+    assert ready_at is not None, "VINS init never fired"
+
+    # a full-chain call happened: its W covers a chain longer than W_CAP
+    full = [(c, W) for c, W in calls if len(c) > vt.MonoViTracker.W_CAP
+            and W >= len(c)]
+    assert full, f"no full-chain NavState GBA ran; calls={[(len(c), W) for c, W in calls]}"
+    chain, W = full[0]
+    assert len(chain) >= 12
+
+    # pre-window KFs (older than the last W_CAP) moved in ROTATION — the
+    # metric rescale only scales translations, so any rotation delta comes
+    # from the joint NavState GBA
+    early = [k for k in chain[1: -vt.MonoViTracker.W_CAP]
+             if k < len(pre_R)]
+    assert early, "chain too short to have pre-window KFs"
+    moved = sum(
+        not np.allclose(tr.map.kf_R[k], pre_R[k], atol=1e-7)
+        for k in early)
+    assert moved >= 1, "pre-window keyframes untouched by post-init GBA"

@@ -79,3 +79,62 @@ def test_loop_retrieval_over_300_views():
                 and (c // 40) % 2 == (qi // 40) % 2]
         hits += bool(good)
     assert hits >= 3, f"only {hits}/4 revisit queries retrieved correctly"
+
+
+@pytest.mark.slow
+def test_retrieval_precision_recall_1000_kfs():
+    """1000-keyframe database (VERDICT r2 #5): 500 distinct places inserted
+    twice (revisit pass with a perturbed pose), then perturbed queries of
+    sampled places. Top-1 retrieval must land on the queried place (either
+    pass) with high precision, and the true place must appear in the top-3
+    candidate set (recall)."""
+    vocab = load_vocabulary(VOCAB)
+    index = BowIndex(vocab, max_kf=256)      # growth to 1024 exercised
+    extractor = OrbExtractor(n_features=512, n_levels=4, scale_factor=2.0,
+                             fast_th=20.0, fast_th_min=7.0, mode="grid")
+
+    n_places = 500
+    scenes = [SmoothScene(seed=70 + s, tex_size=2400) for s in range(2)] + \
+             [StepScene(seed=80 + s, tex_size=2400) for s in range(2)]
+
+    def place_pose(p, jitter):
+        rng = np.random.default_rng(9000 + p * 7 + jitter)
+        yaw = 0.03 * np.sin(p * 0.11) + (0.004 * rng.standard_normal()
+                                         if jitter else 0.0)
+        R = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.0, yaw, 0.0], np.float32))))
+        c = np.array([0.05 * (p % 125), 0.25 * np.sin(p * 0.23), 0.0],
+                     np.float32)
+        if jitter:
+            c = c + rng.normal(0.0, 0.008, 3).astype(np.float32)
+        return scenes[p // 125], R, (-R @ c).astype(np.float32)
+
+    bows = {}
+    for ins in range(2):                       # two passes -> 1000 KFs
+        for p in range(n_places):
+            scene, R, t = place_pose(p, jitter=ins)
+            desc, valid = _view_desc(extractor, scene, R, t)
+            _, bow = index.quantize(desc, valid)
+            index.add_keyframe(ins * n_places + p, bow)
+    assert index.kf_valid[: 2 * n_places].all()
+
+    queries = range(3, n_places, 29)           # ~18 sampled places
+    top1_hits = top3_hits = n_q = 0
+    for p in queries:
+        scene, R, t = place_pose(p, jitter=2)
+        desc, valid = _view_desc(extractor, scene, R, t)
+        _, bow = index.quantize(desc, valid)
+        cands = index.reloc_candidates(bow, max_candidates=3)
+        n_q += 1
+        # same scene strip, within +-3 positions (~15 cm), either pass
+        def is_true(c):
+            cp = c % n_places
+            return (cp // 125 == p // 125) and abs(cp - p) <= 3
+        if cands and is_true(cands[0]):
+            top1_hits += 1
+        if any(is_true(c) for c in cands):
+            top3_hits += 1
+    assert top1_hits >= 0.8 * n_q, \
+        f"top-1 precision {top1_hits}/{n_q} at 1000 KFs"
+    assert top3_hits >= 0.9 * n_q, \
+        f"top-3 recall {top3_hits}/{n_q} at 1000 KFs"

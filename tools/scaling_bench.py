@@ -11,7 +11,7 @@ sweep runs on a virtual CPU device mesh (xla_force_host_platform_device_count)
 whose "devices" share the (2) physical cores, so wall-clock efficiency beyond
 the core count measures oversubscription, not the sharded program. With the
 landmark-block sharding the per-iteration collective volume is a psum of
-[P,6,6]+[P,6,P,6]+[P,6] (~0.7 MB at P=64), independent of O and L, so on
+[P,6,6]x2+[P,6] + cg_iters x [P,6] (~12 KB at P=64), independent of O and L, so on
 real ICI the per-observation/per-landmark compute fraction bounds the
 achievable efficiency.
 

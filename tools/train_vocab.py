@@ -4,8 +4,9 @@ The reference loads a pre-trained 1M-word ORBvoc binary at startup
 (/root/reference/src/System.cc:186-191, k=10 L=6). This tool trains the
 shipped equivalent for the TPU engine: hierarchical k-medians over ORB
 descriptors extracted from many rendered synthetic scenes (no real datasets
-exist in this environment — see SURVEY.md §A.5), default k=10 L=4 (~10^4
-words), persisted to ygz_tpu/data/orb_vocab.npz (~0.4 MB packed).
+exist in this environment — see SURVEY.md §A.5), default k=10 L=5 (~10^5
+words, the scale step toward the reference ORBvoc k=10 L=6), persisted
+to ygz_tpu/data/orb_vocab.npz (packed bits, ~3 MB).
 
 Usage:
     JAX_PLATFORMS=cpu python tools/train_vocab.py \
@@ -29,9 +30,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         ROOT, "ygz_tpu", "data", "orb_vocab.npz"))
     ap.add_argument("--branching", type=int, default=10)
-    ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--scenes", type=int, default=12)
-    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--scenes", type=int, default=48)
+    ap.add_argument("--views", type=int, default=12)
     args = ap.parse_args()
 
     import jax
@@ -42,7 +43,7 @@ def main():
     import jax.numpy as jnp
     from ygz_tpu.backend.bow import train_vocabulary, save_vocabulary
 
-    extractor = OrbExtractor(n_features=512, n_levels=4, scale_factor=2.0,
+    extractor = OrbExtractor(n_features=1024, n_levels=4, scale_factor=2.0,
                              fast_th=20.0, fast_th_min=7.0, mode="grid")
 
     descs, docs = [], []

@@ -70,6 +70,13 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     leaves = []
     group_of_leaf = []
 
+    # FeatureVector grouping depth: ancestor node at depth 2 (<=k^2 groups)
+    # — the analog of DBoW2's transform(..., levelsup=4) for the k=10 L=6
+    # ORBvoc, where grouping nodes also sit at depth L-levelsup=2
+    # (Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:423-438,
+    # src/Frame.cc:498)
+    gd = min(2, depth - 1) if depth > 1 else 0
+
     def split(idx, level, group):
         if level == depth or len(idx) <= branching:
             leaves.append((desc[idx].mean(axis=0) > 0.5).astype(np.uint8)
@@ -79,8 +86,7 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
         centers, assign = _kmedians(desc[idx], branching, rng)
         for c in range(len(centers)):
             sub = idx[assign == c]
-            # group id = top-level child index (levelsup grouping analog)
-            g = c if level == 0 else group
+            g = group * branching + c if level < gd else group
             if len(sub) == 0:
                 leaves.append(centers[c])
                 group_of_leaf.append(g)
@@ -91,15 +97,15 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     words = np.stack(leaves)
     groups = np.array(group_of_leaf, np.int32)
 
-    # idf from training assignment (chunked: M x W would not fit for the
-    # offline 10^4-word vocabulary trained on 10^5+ descriptors)
+    # idf from training assignment (doubly chunked: both M and W exceed
+    # what a materialized [M,W] distance matrix allows at 10^5 words)
     W = len(words)
-    words_dev = jnp.asarray(words)
     wa = np.empty(len(desc), np.int64)
-    B = 4096
+    B = 2048
+    lookup = WordLookup(words)
     for i in range(0, len(desc), B):
-        d = np.asarray(hamming_matrix(jnp.asarray(desc[i: i + B]), words_dev))
-        wa[i: i + B] = d.argmin(axis=1)
+        chunk = desc[i: i + B]
+        wa[i: i + B] = lookup.assign(chunk, np.ones(len(chunk), bool))
     if doc_ids is None:
         doc_ids = np.zeros(len(desc), np.int64)
     n_docs = max(int(doc_ids.max()) + 1, 1)
@@ -136,62 +142,155 @@ def default_vocabulary_path() -> str:
                         "orb_vocab.npz")
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _assign_words(desc_bits, valid, words_bits):
-    d = hamming_matrix(desc_bits, words_bits, valid1=valid)
-    wid = jnp.argmin(d, axis=1).astype(jnp.int32)
-    return jnp.where(valid, wid, -1)
+WORD_CHUNK = 4096   # words per device chunk in the flat-argmin lookup
+DESC_PAD = 2048     # descriptor batch bucket (fixed shape -> one compile)
+
+
+@jax.jit
+def _assign_words_chunked(desc_bits, valid, words3, n_words):
+    """Nearest word over a [C, WORD_CHUNK, 256] chunked word table by a
+    running-min lax.scan — never materializes the [N, W] distance matrix
+    (W = 10^5 words x N = 2048 descriptors would be ~1.6 GB)."""
+    N = desc_bits.shape[0]
+    Wc = words3.shape[1]
+
+    def body(carry, wc_base):
+        best_d, best_i = carry
+        wc, base = wc_base
+        d = hamming_matrix(desc_bits, wc)                       # [N, Wc]
+        # mask padding words past the true vocabulary size
+        pad = (base + jnp.arange(Wc)) >= n_words
+        d = d + pad[None, :] * 1e9
+        i = jnp.argmin(d, axis=1)
+        dm = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        upd = dm < best_d
+        best_i = jnp.where(upd, (base + i).astype(jnp.int32), best_i)
+        best_d = jnp.minimum(best_d, dm)
+        return (best_d, best_i), None
+
+    C = words3.shape[0]
+    bases = jnp.arange(C, dtype=jnp.int32) * Wc
+    (bd, bi), _ = jax.lax.scan(
+        body, (jnp.full((N,), jnp.inf), jnp.zeros(N, jnp.int32)),
+        (words3, bases))
+    return jnp.where(valid, bi, -1)
+
+
+class WordLookup:
+    """Device-side descriptor -> word assignment for arbitrary vocabulary
+    sizes (fixed-shape chunks; compiles once)."""
+
+    def __init__(self, words: np.ndarray):
+        self.n_words = len(words)
+        C = (self.n_words + WORD_CHUNK - 1) // WORD_CHUNK
+        padded = np.zeros((C * WORD_CHUNK, 256), np.uint8)
+        padded[: self.n_words] = words
+        self._words3 = jnp.asarray(padded.reshape(C, WORD_CHUNK, 256))
+
+    def assign(self, desc_bits, valid):
+        """[N,256] 0/1 -> word ids [N] (-1 where invalid)."""
+        n = len(desc_bits)
+        out = np.empty(n, np.int32)
+        for s in range(0, n, DESC_PAD):
+            m = min(DESC_PAD, n - s)
+            db = np.zeros((DESC_PAD, 256), np.uint8)
+            vl = np.zeros(DESC_PAD, bool)
+            db[:m] = desc_bits[s: s + m]
+            vl[:m] = valid[s: s + m]
+            wid = _assign_words_chunked(jnp.asarray(db), jnp.asarray(vl),
+                                        self._words3,
+                                        jnp.int32(self.n_words))
+            out[s: s + m] = np.asarray(wid)[:m]
+        return out
 
 
 class BowIndex:
-    """Quantization + dense tf-idf vectors + the keyframe database
-    (reference KeyFrameDatabase: DetectLoop/RelocalizationCandidates)."""
+    """Quantization + SPARSE tf-idf keyframe database (reference
+    KeyFrameDatabase: DetectLoop/RelocalizationCandidates). Each keyframe
+    stores only its own word ids + weights ([max_feat] padded), so memory is
+    independent of the vocabulary size — required at the reference-scale
+    ~10^5..10^6 words where dense [K, W] vectors would need GBs."""
 
-    def __init__(self, vocab: Vocabulary, max_kf: int = 256):
+    def __init__(self, vocab: Vocabulary, max_kf: int = 256,
+                 max_feat: int = 1024):
         self.vocab = vocab
-        self._words_dev = jnp.asarray(vocab.words)
-        W = vocab.n_words
-        self.kf_vec = np.zeros((max_kf, W), np.float32)
-        self.kf_words = np.zeros((max_kf, W), bool)
+        self._lookup = WordLookup(vocab.words)
+        self.F = max_feat
+        self.kf_wid = np.full((max_kf, max_feat), -1, np.int32)
+        self.kf_w = np.zeros((max_kf, max_feat), np.float32)
+        # per-feature word ids (aligned with the KF's feature slots) for
+        # FeatureVector-gated SearchByBoW
+        self.kf_feat_word = np.full((max_kf, max_feat), -1, np.int32)
         self.kf_valid = np.zeros(max_kf, bool)
 
     def quantize(self, desc_bits, valid):
-        """desc [N,256] 0/1 -> (word_ids [N], bow [W] L1-normalized tfidf)."""
-        wid = np.asarray(_assign_words(jnp.asarray(desc_bits),
-                                       jnp.asarray(valid), self._words_dev))
-        W = self.vocab.n_words
-        bow = np.zeros(W, np.float32)
+        """desc [N,256] 0/1 -> (word_ids [N], bow) where bow is the sparse
+        L1-normalized tf-idf pair (uids [<=N], weights). `bow` is treated as
+        opaque by callers (pass to add_keyframe/scores/candidates)."""
+        wid = self._lookup.assign(np.asarray(desc_bits), np.asarray(valid))
         ids = wid[wid >= 0]
-        np.add.at(bow, ids, 1.0)
-        bow *= self.vocab.idf
-        n = bow.sum()
+        uids, counts = np.unique(ids, return_counts=True)
+        w = counts.astype(np.float32) * self.vocab.idf[uids]
+        n = w.sum()
         if n > 0:
-            bow /= n
-        return wid, bow
+            w /= n
+        return wid, (uids.astype(np.int32), w)
 
-    def add_keyframe(self, kf_id: int, bow, word_mask=None):
+    def add_keyframe(self, kf_id: int, bow, feat_wid=None):
         while kf_id >= len(self.kf_valid):   # grow with the map
-            n, W = self.kf_vec.shape
-            self.kf_vec = np.concatenate(
-                [self.kf_vec, np.zeros((n, W), np.float32)])
-            self.kf_words = np.concatenate(
-                [self.kf_words, np.zeros((n, W), bool)])
+            n = len(self.kf_valid)
+            self.kf_wid = np.concatenate(
+                [self.kf_wid, np.full((n, self.F), -1, np.int32)])
+            self.kf_w = np.concatenate(
+                [self.kf_w, np.zeros((n, self.F), np.float32)])
+            self.kf_feat_word = np.concatenate(
+                [self.kf_feat_word, np.full((n, self.F), -1, np.int32)])
             self.kf_valid = np.concatenate(
                 [self.kf_valid, np.zeros(n, bool)])
-        self.kf_vec[kf_id] = bow
-        self.kf_words[kf_id] = bow > 0 if word_mask is None else word_mask
+        uids, w = bow
+        m = min(len(uids), self.F)
+        self.kf_wid[kf_id] = -1
+        self.kf_w[kf_id] = 0.0
+        self.kf_wid[kf_id, :m] = uids[:m]
+        self.kf_w[kf_id, :m] = w[:m]
+        if feat_wid is not None:
+            fm = min(len(feat_wid), self.F)
+            self.kf_feat_word[kf_id] = -1
+            self.kf_feat_word[kf_id, :fm] = feat_wid[:fm]
         self.kf_valid[kf_id] = True
 
+    def feat_groups(self, kf_id: int):
+        """Per-feature-slot FeatureVector group ids for keyframe `kf_id`
+        (-1 where unquantized)."""
+        fw = self.kf_feat_word[kf_id]
+        return np.where(fw >= 0, self.vocab.groups[np.maximum(fw, 0)], -1)
+
+    def groups_of(self, wid):
+        """Word ids [N] -> group ids [N] (-1 passthrough)."""
+        wid = np.asarray(wid)
+        return np.where(wid >= 0, self.vocab.groups[np.maximum(wid, 0)], -1)
+
     def scores(self, bow):
-        """L1 similarity of a query against all stored KFs: [max_kf]."""
-        diff = np.abs(self.kf_vec - bow[None, :]).sum(axis=1)
-        s = 1.0 - 0.5 * diff
+        """DBoW2 L1 similarity s = 1 - 0.5|v-w|_1 of a query against ALL
+        stored KFs, computed over word intersections only:
+        s = sum_{i in both} (v_i + w_i - |v_i - w_i|) / 2."""
+        uids, w = bow
+        W = self.vocab.n_words
+        q = np.zeros(W + 1, np.float32)     # [+1] slot for padding gathers
+        q[uids] = w
+        kw = self.kf_wid
+        qv = q[np.where(kw >= 0, kw, W)]
+        s = 0.5 * (self.kf_w + qv - np.abs(self.kf_w - qv)).sum(axis=1)
         s[~self.kf_valid] = 0.0
         return s
 
     def common_words(self, bow):
-        q = bow > 0
-        return (self.kf_words & q[None, :]).sum(axis=1)
+        uids, _ = bow
+        W = self.vocab.n_words
+        qm = np.zeros(W + 1, bool)
+        qm[uids] = True
+        kw = self.kf_wid
+        return (qm[np.where(kw >= 0, kw, W)]).sum(axis=1)
 
     def reloc_candidates(self, bow, max_candidates: int = 5):
         """DetectRelocalizationCandidates semantics (0.5*maxCommonWords gate

@@ -92,10 +92,17 @@ class LoopCloser:
         bc = smap.kf_feat_pt[cand] >= 0
         if bk.sum() < self.min_matches or bc.sum() < self.min_matches:
             return None
+        # node-gated SearchByBoW between the two keyframes (reference
+        # ComputeSim3 matches via SearchByBoW, src/LoopClosing.cc:225)
+        gk = gc = None
+        if self.bow.kf_valid[kf] and self.bow.kf_valid[cand]:
+            gk = jnp.asarray(self.bow.feat_groups(kf))
+            gc = jnp.asarray(self.bow.feat_groups(cand))
         idx, ok = matching.match_with_windows(
             jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bk),
             jnp.asarray(smap.kf_feat_desc[cand]), jnp.asarray(bc),
-            max_dist=matching.TH_LOW, ratio=0.75, mutual=True)
+            max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+            groups1=gk, groups2=gc)
         idx = np.asarray(idx)
         ok = np.asarray(ok)
         slots_k = np.nonzero(ok)[0]

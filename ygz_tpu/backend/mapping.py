@@ -114,6 +114,12 @@ class LocalMapper:
         # lacks, SURVEY.md §2.4). None = single-device path.
         self.mesh = mesh
         self._dist_ba_cache = {}
+        # capacity-drop accounting (SURVEY §7.3 no-silent-caps rule;
+        # VERDICT r2 #6): every landmark/observation excluded from a BA
+        # problem by a capacity bucket is counted here and surfaced through
+        # tracker.stats()["ba_dropped"].
+        self.dropped = {"local_ba_points": 0, "local_ba_obs": 0,
+                        "global_ba_points": 0, "global_ba_obs": 0}
 
     # ------------------------------------------------------------ triangulate
     def create_new_points(self, smap: SlamMap, kf_new: int, kf_prev: int,
@@ -330,6 +336,7 @@ class LocalMapper:
         if len(pt_ids) == 0:
             return
         if len(pt_ids) > BA_L:
+            self.dropped["local_ba_points"] += len(pt_ids) - BA_L
             pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[:BA_L]]
         # fixed ring: KFs outside the window that observe window points
         # enter as fixed poses (reference src/Optimizer.cc:1903-1918) — they
@@ -344,9 +351,14 @@ class LocalMapper:
         win = win + ring
         o_kf, o_pt, o_uv, o_lvl, o_ur = smap.observations(win, pt_ids)
         if len(o_kf) > BA_O:
-            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[:BA_O], o_pt[:BA_O],
-                                             o_uv[:BA_O], o_lvl[:BA_O],
-                                             o_ur[:BA_O])
+            # rank observations by their landmark's support so the capacity
+            # cut sheds weakly-observed points first (not an arbitrary slice)
+            self.dropped["local_ba_obs"] += len(o_kf) - BA_O
+            order = np.argsort(-smap.pt_obs[pt_ids[o_pt]],
+                               kind="stable")[:BA_O]
+            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[order], o_pt[order],
+                                             o_uv[order], o_lvl[order],
+                                             o_ur[order])
 
         P = BA_P
         n_free = len(win) - len(ring)
@@ -435,12 +447,18 @@ class LocalMapper:
         pt_ids = smap.points_in_kfs(kfs)
         L = bucket(len(pt_ids), [2048, 4096, 8192, 16384])
         if len(pt_ids) > L:
+            self.dropped["global_ba_points"] += len(pt_ids) - L
             pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[:L]]
         o_kf, o_pt, o_uv, o_lvl, o_ur = smap.observations(kfs[:P], pt_ids)
         O = bucket(len(o_kf), [8192, 16384, 32768])
         if len(o_kf) > O:
-            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[:O], o_pt[:O], o_uv[:O],
-                                             o_lvl[:O], o_ur[:O])
+            # support-ranked cut instead of a silent slice (VERDICT r2 #6)
+            self.dropped["global_ba_obs"] += len(o_kf) - O
+            order = np.argsort(-smap.pt_obs[pt_ids[o_pt]],
+                               kind="stable")[:O]
+            o_kf, o_pt, o_uv, o_lvl, o_ur = (o_kf[order], o_pt[order],
+                                             o_uv[order], o_lvl[order],
+                                             o_ur[order])
 
         kfR = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         kft = np.zeros((P, 3), np.float32)

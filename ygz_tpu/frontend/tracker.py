@@ -400,9 +400,9 @@ class MonoTracker:
             self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
             self.loop_closer = LoopCloser(self.bow_index, self.cam)
             for k in (kf0, kf1):
-                _, bow = self.bow_index.quantize(
+                wid, bow = self.bow_index.quantize(
                     smap.kf_feat_desc[k], smap.kf_feat_valid[k])
-                self.bow_index.add_keyframe(k, bow)
+                self.bow_index.add_keyframe(k, bow, feat_wid=wid)
 
         smap.kf_parent[kf1] = kf0
         self.state = State.OK
@@ -915,16 +915,36 @@ class MonoTracker:
             return None
         return self._pose_np(best_res.R, best_res.t)
 
+    def _frame_groups(self, f):
+        """Quantize a frame's descriptors and return their FeatureVector
+        group ids (cached in f["groups"]) — the frame side of node-gated
+        SearchByBoW (reference Frame::ComputeBoW src/Frame.cc:495-507)."""
+        if self.bow_index is None:
+            return None
+        if "groups" not in f:
+            wid, _ = self.bow_index.quantize(f["desc"], f["valid"])
+            f["wid"] = wid
+            f["groups"] = self.bow_index.groups_of(wid)
+        return f["groups"]
+
     def _track_reference_keyframe(self, f, min_matches: int = 15,
                                   min_inliers: int = 10):
-        """Descriptor match against the reference KF's bound features +
+        """Node-gated BoW match against the reference KF's bound features +
         pose opt from the last pose (Tracking::TrackReferenceKeyFrame
-        src/Tracking.cc:1008-1063; the BoW node gating becomes a plain
-        batched mutual NN with the reference's 0.7 ratio)."""
+        src/Tracking.cc:1008-1063 via ORBmatcher::SearchByBoW
+        src/ORBmatcher.cc:155-263: candidates restricted to the same
+        vocabulary-tree node, batched here as a group-gated mutual NN with
+        the reference's 0.7 ratio)."""
         kf = self._last_kf
         smap = self.map
         if kf < 0 or not smap.kf_valid[kf]:
             return None
+        g1 = g2 = None
+        if self.bow_index is not None and self.bow_index.kf_valid[kf]:
+            fg = self._frame_groups(f)
+            if fg is not None:
+                g1 = jnp.asarray(self.bow_index.feat_groups(kf))
+                g2 = jnp.asarray(fg)
         with self._map_lock:
             bound = smap.kf_feat_pt[kf] >= 0
             if int(bound.sum()) < min_matches:
@@ -934,7 +954,8 @@ class MonoTracker:
                 jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
                 max_dist=matching.TH_LOW, ratio=0.7,
                 ang1=jnp.asarray(smap.kf_feat_angle[kf]),
-                ang2=jnp.asarray(f["angle"]), mutual=True)
+                ang2=jnp.asarray(f["angle"]), mutual=True,
+                groups1=g1, groups2=g2)
             idx = np.asarray(idx)
             rows = np.nonzero(np.asarray(ok))[0]
             if len(rows) < min_matches:
@@ -1052,6 +1073,10 @@ class MonoTracker:
             "n_loops_closed": self.n_loops_closed,
             "cache_size": len(self._cache),
             "stage_ms": self.timer.mean_ms(),
+            # capacity-drop counters (no-silent-caps rule, SURVEY §7.3):
+            # nonzero values mean BA problems exceeded their buckets and
+            # shed support-ranked landmarks/observations
+            "ba_dropped": dict(self.mapper.dropped),
         }
 
     def _mapping_tail(self, kf, pyr):
@@ -1093,9 +1118,9 @@ class MonoTracker:
 
             # place recognition: index this KF, attempt loop closure
             if self.bow_index is not None:
-                _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf],
-                                                 smap.kf_feat_valid[kf])
-                self.bow_index.add_keyframe(kf, bow)
+                wid, bow = self.bow_index.quantize(smap.kf_feat_desc[kf],
+                                                   smap.kf_feat_valid[kf])
+                self.bow_index.add_keyframe(kf, bow, feat_wid=wid)
                 if (self.cfg.enable_loop_closing
                         and self.loop_closer is not None):
                     if self.loop_closer.process_keyframe(smap, kf, bow):
@@ -1216,16 +1241,23 @@ class MonoTracker:
         smap = self.map
         feats = self.extractor(pyr)
         f = self._feats_to_dict(feats)
-        _, bow = self.bow_index.quantize(f["desc"], f["valid"])
+        wid, bow = self.bow_index.quantize(f["desc"], f["valid"])
+        f["wid"] = wid
+        f["groups"] = self.bow_index.groups_of(wid)
         cands = self.bow_index.reloc_candidates(bow, max_candidates=5)
         for kf in cands:
             bound = smap.kf_feat_pt[kf] >= 0
             if bound.sum() < 15:
                 continue
+            # node-gated SearchByBoW (reference Relocalization matches via
+            # SearchByBoW, src/Tracking.cc:1847)
+            gk = (jnp.asarray(self.bow_index.feat_groups(kf))
+                  if self.bow_index.kf_valid[kf] else None)
             idx, ok = matching.match_with_windows(
                 jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
                 jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
-                max_dist=matching.TH_LOW, ratio=0.75, mutual=True)
+                max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+                groups1=jnp.asarray(f["groups"]), groups2=gk)
             idx = np.asarray(idx)
             okm = np.asarray(ok)
             rows = np.nonzero(okm)[0]
@@ -1328,9 +1360,9 @@ class RgbdTracker(MonoTracker):
             vocab = self._build_vocabulary(desc)
             self.bow_index = BowIndex(vocab, max_kf=smap.max_kf)
             self.loop_closer = LoopCloser(self.bow_index, self.cam)
-            _, bow = self.bow_index.quantize(smap.kf_feat_desc[kf0],
-                                             smap.kf_feat_valid[kf0])
-            self.bow_index.add_keyframe(kf0, bow)
+            wid, bow = self.bow_index.quantize(smap.kf_feat_desc[kf0],
+                                               smap.kf_feat_valid[kf0])
+            self.bow_index.add_keyframe(kf0, bow, feat_wid=wid)
 
         self.state = State.OK
         self._last_kf = kf0

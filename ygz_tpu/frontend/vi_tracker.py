@@ -30,7 +30,7 @@ from ..imu.preintegration import preintegrate, predict_navstate, PreintState
 from ..imu.navstate import NavState
 from ..imu.vins_init import vins_initialize
 from ..backend.vio_optim import (vio_pose_optimization,
-                                 vio_pose_optimization_pair)
+                                 vio_pose_optimization_pair, vio_window_ba)
 from .tracker import MonoTracker, TrackerConfig, State
 
 FRAME_IMU_CAP = 64
@@ -455,10 +455,17 @@ class MonoViTracker(MonoTracker):
             self._kf_ns[k] = (P_b.astype(np.float32),
                               V_b.astype(np.float32),
                               R_b.astype(np.float32))
-        # post-init joint consistency pass: NavState window BA over the
-        # chain (the reference's GlobalBundleAdjustmentNavState +
-        # spanning-tree propagation, src/LocalMapping.cc:615-713)
-        self._run_local_ba(smap, kfs[-1])
+        # post-init FULL-CHAIN NavState global BA (the reference's
+        # GlobalBundleAdjustmentNavState over every KF,
+        # src/LocalMapping.cc:615-713). W buckets to a power-of-two-ish
+        # size so each chain length compiles once; the reference's
+        # spanning-tree propagation to KFs created during the solve has no
+        # analog here because the solve runs inside the (serialized)
+        # mapping tail, so no KFs can be created meanwhile.
+        chain = [k for k in kfs if smap.kf_valid[k] and k in self._kf_ns]
+        W_gba = next(w for w in (10, 16, 24, 32, 48, 64, 96, 128)
+                     if w >= len(chain))
+        self._navstate_ba(smap, kfs[-1], chain, W_gba, iters=10)
         R_cw, t_cw = self._body_to_cam(*[self._ns[i] for i in (2, 0)])
         self._last_R, self._last_t = R_cw, t_cw
         # the device-resident direct cache holds pre-rescale geometry
@@ -497,8 +504,14 @@ class MonoViTracker(MonoTracker):
                  and smap.kf_valid[k]][-self.W_CAP:]
         if len(chain) < 3:
             return super()._run_local_ba(smap, kf)
+        self._navstate_ba(smap, kf, chain, self.W_CAP)
 
-        W = self.W_CAP
+    def _navstate_ba(self, smap, kf, chain, W, iters: int = 8):
+        """Joint NavState + landmark BA over `chain` (<= W, static bucket).
+        W = W_CAP gives the reference's IMU local-window BA
+        (LocalBundleAdjustmentNavState, src/Optimizer.cc:863); W sized to
+        the whole chain gives the post-VINS-init
+        GlobalBundleAdjustmentNavState (src/LocalMapping.cc:615-713)."""
         n = len(chain)
         Pw = np.zeros((W, 3), np.float32)
         Vw = np.zeros((W, 3), np.float32)
@@ -541,11 +554,17 @@ class MonoViTracker(MonoTracker):
         if len(pt_ids) == 0:
             return
         if len(pt_ids) > self.BA_L:
+            self.mapper.dropped["local_ba_points"] += \
+                len(pt_ids) - self.BA_L
             pt_ids = pt_ids[np.argsort(-smap.pt_obs[pt_ids])[: self.BA_L]]
         o_kf, o_pt, o_uv, o_lvl, _ = smap.observations(chain, pt_ids)
         if len(o_kf) > self.BA_O:
-            o_kf, o_pt, o_uv, o_lvl = (o_kf[: self.BA_O], o_pt[: self.BA_O],
-                                       o_uv[: self.BA_O], o_lvl[: self.BA_O])
+            # support-ranked capacity cut + counter (no-silent-caps rule)
+            self.mapper.dropped["local_ba_obs"] += len(o_kf) - self.BA_O
+            order = np.argsort(-smap.pt_obs[pt_ids[o_pt]],
+                               kind="stable")[: self.BA_O]
+            o_kf, o_pt, o_uv, o_lvl = (o_kf[order], o_pt[order],
+                                       o_uv[order], o_lvl[order])
         L, O = self.BA_L, self.BA_O
         pts = np.zeros((L, 3), np.float32)
         ptv = np.zeros(L, bool)
@@ -570,7 +589,7 @@ class MonoViTracker(MonoTracker):
             jnp.asarray(obs_w),
             jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.intr,
             jnp.asarray(self.gravity_w),
-            n_win=W, n_points=L, iters=8,
+            n_win=W, n_points=L, iters=iters,
             link_w=jnp.asarray(link_w))
 
         newP = np.asarray(res.P)

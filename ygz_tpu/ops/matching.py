@@ -89,16 +89,27 @@ def rotation_consistency(ang1, ang2, idx, ok):
 
 def match_with_windows(bits1, valid1, bits2, valid2, uv_pred1=None, uv2=None,
                        radius=None, max_dist=TH_LOW, ratio=0.9,
-                       ang1=None, ang2=None, mutual=False):
+                       ang1=None, ang2=None, mutual=False,
+                       groups1=None, groups2=None):
     """One-stop batched matcher used by the tracking front-end.
 
     Mirrors ORBmatcher::SearchByProjection semantics: optional window gate
     around predicted positions, Hamming NN + ratio, optional rotation
     histogram, optional mutual-consistency check.
+
+    groups1/groups2: optional per-feature FeatureVector node ids — when
+    given, candidate pairs are gated to the SAME vocabulary-tree group (the
+    reference's node-level SearchByBoW iteration over DBoW2 FeatureVectors,
+    src/ORBmatcher.cc:155-263; here a batched additive penalty). Features
+    with group -1 (unquantized) match freely.
     """
     d = hamming_matrix(bits1, bits2, valid1, valid2)
     if radius is not None:
         d = d + window_gate(uv_pred1, uv2, radius)
+    if groups1 is not None and groups2 is not None:
+        same = ((groups1[:, None] == groups2[None, :])
+                | (groups1[:, None] < 0) | (groups2[None, :] < 0))
+        d = d + jnp.where(same, 0.0, BIG)
     idx, ok = nn_match(d, max_dist=max_dist, ratio=ratio)
     if ang1 is not None and ang2 is not None:
         ok = rotation_consistency(ang1, ang2, idx, ok)

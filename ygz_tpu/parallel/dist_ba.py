@@ -3,26 +3,28 @@
 The reference has NO distributed computing (SURVEY.md §2.4) — this layer is
 the new TPU-native capability: bundle adjustment sharded across chips.
 
-Design (landmark-block sharding — round 2; the round-1 observation-only
-sharding replicated the entire Schur-complement pipeline and psum'd the
-[L,P,6,3] coupling tensor every iteration, ~40 MB/iter of collective traffic
-plus O(L·P²) replicated compute, which measured SLOWER with more devices):
+Design (landmark-block sharding + matrix-free distributed PCG — round 3;
+round 1 replicated the entire Schur pipeline, round 2 materialized and
+psum'd the dense [P,6,P,6] Schur complement and solved it replicated, which
+capped strong-scaling efficiency at 0.59 for n=2):
 
   * landmarks are block-sharded: device d owns points [d·L/n, (d+1)·L/n);
   * observations are partitioned BY OWNER of their landmark
     (`partition_obs_by_landmark`), so every landmark's normal-equation
     blocks (V_l, b_l, and the L-side coupling M_l) are computed entirely
     locally — no communication for any per-landmark quantity;
-  * each device reduces its landmark block into a PARTIAL Schur complement
-    S_d = Σ_{l∈d} M_l V_l⁻¹ M_lᵀ; one psum of [P,6,P,6] (+ U, g) assembles
-    the reduced camera system (~1 MB at P=64, independent of L and O);
-  * the small reduced system solves replicated (identical on all devices);
-    landmark back-substitution is local to each block.
+  * the reduced camera system S = U + λI − Σ_l M_l V_l⁻¹ M_lᵀ is NEVER
+    materialized: it is solved by block-Jacobi-preconditioned CG whose
+    matvec applies the local landmark sum matrix-free and psums ONE [P,6]
+    vector per CG iteration (~1.5 KB at P=64). The preconditioner's [P,6,6]
+    diagonal blocks psum once per GN iteration;
+  * landmark back-substitution is local to each block.
 
-Communication per iteration: psum of [P,6,6] + [P,6,P,6] + [P,6] + scalars —
-independent of BOTH the observation count and the landmark count, so scaling
-efficiency approaches the per-landmark/per-observation compute fraction
-(target >=70% at N>=2, BASELINE.md).
+Communication per GN iteration: psum of [P,6,6]×2 + [P,6] + cg_iters×[P,6]
++ scalars — independent of BOTH the observation count and the landmark
+count, and the replicated compute is only O(P·6²·cg_iters) vector work, so
+scaling efficiency approaches the sharded-compute fraction (target >=70%
+at N>=2, BASELINE.md).
 """
 from __future__ import annotations
 
@@ -81,13 +83,17 @@ def partition_obs_by_landmark(obs_p, obs_l, obs_uv, obs_w, n_points: int,
 
 
 def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
-                        iters: int = 10, damping: float = 1e-3):
+                        iters: int = 10, damping: float = 1e-3,
+                        cg_iters: int = 48):
     """Build a jitted distributed-BA step over `mesh` (axis name "obs").
 
     Call-time inputs: poses replicated; points/pt_valid block-sharded on L
     (length divisible by the mesh size); observation arrays partitioned with
     `partition_obs_by_landmark` (leading axis divisible by mesh size, global
     landmark indices).
+
+    cg_iters: inner PCG iterations for the reduced camera solve per GN step
+    (block-Jacobi preconditioned; LM accept/reject guards inexact steps).
     """
     axis = "obs"
     n_dev = mesh.devices.size
@@ -140,23 +146,49 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
             V = V + lam * jnp.eye(3)[None]
             Vinv = jnp.linalg.inv(V)
             T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
-            # partial Schur complement over the local landmark block
-            S_part = -jnp.einsum("lpim,lqjm->piqj", T_, M)
-            g_part = -jnp.einsum("lpim,lm->pi", T_, bl)
-            S = jax.lax.psum(S_part, axis)
-            g = bp + jax.lax.psum(g_part, axis)
-            diag = jnp.arange(Pn)
-            S = S.at[diag, :, diag, :].add(U + lam * jnp.eye(6)[None])
+            # Schur RHS: g = bp - psum_l M V^-1 bl   (one [P,6] psum)
+            g = (bp - jax.lax.psum(jnp.einsum("lpim,lm->pi", T_, bl),
+                                   axis)) * fm
 
-            # gauge / fixed poses
-            S = S * fm[:, :, None, None] * fm[None, None, :, :]
-            S = S.at[diag, :, diag, :].add(
-                (1.0 - free.astype(jnp.float32))[:, None, None]
-                * jnp.eye(6)[None])
-            g = g * fm
+            # block-Jacobi preconditioner: S's [6,6] diagonal blocks only
+            # (one [P,6,6] psum; the dense [P,6,P,6] S is never formed)
+            D = (U + lam * jnp.eye(6)[None]
+                 - jax.lax.psum(jnp.einsum("lpim,lpjm->pij", T_, M), axis))
+            D = (D * fm[:, :, None]
+                 + (1.0 - fm)[:, :, None] * jnp.eye(6)[None])
+            Dinv = jnp.linalg.inv(D)
 
-            dp = solve_preconditioned(S.reshape(Pn * 6, Pn * 6),
-                                      g.reshape(Pn * 6)).reshape(Pn, 6) * fm
+            def matvec(x):
+                """S @ x matrix-free: local landmark sum + ONE [P,6] psum."""
+                Ux = jnp.einsum("pij,pj->pi", U + lam * jnp.eye(6)[None], x)
+                y = jnp.einsum("lqjm,qj->lm", M, x)          # M^T x  [Lb,3]
+                z = jnp.einsum("lij,lj->li", Vinv, y)
+                s = jax.lax.psum(jnp.einsum("lpim,lm->pi", M, z), axis)
+                out = Ux - s
+                return out * fm + x * (1.0 - fm)  # identity on fixed poses
+
+            def precond(r):
+                return jnp.einsum("pij,pj->pi", Dinv, r) * fm
+
+            # preconditioned CG on the reduced camera system
+            x0 = jnp.zeros((Pn, 6))
+            r0 = g
+            z0 = precond(r0)
+
+            def cg_body(_, st):
+                x, r, z, p_ = st
+                Ap = matvec(p_)
+                rz = jnp.sum(r * z)
+                alpha = rz / jnp.maximum(jnp.sum(p_ * Ap), 1e-20)
+                x = x + alpha * p_
+                r = r - alpha * Ap
+                z2 = precond(r)
+                beta = jnp.sum(r * z2) / jnp.maximum(rz, 1e-20)
+                return x, r, z2, z2 + beta * p_
+
+            dp, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                            (x0, r0, z0, z0))
+            dp = dp * fm
             rhs = bl - jnp.einsum("lpim,pi->lm", M, dp)
             dl = jnp.einsum("lij,lj->li", Vinv, rhs) * pt_valid[:, None]
 

@@ -197,8 +197,9 @@ class System:
             extra = {"bow_words": v.words, "bow_groups": v.groups,
                      "bow_idf": v.idf,
                      "bow_meta": np.array([v.branching, v.depth], np.int64),
-                     "bow_kf_vec": tr.bow_index.kf_vec,
-                     "bow_kf_words": tr.bow_index.kf_words,
+                     "bow_kf_wid": tr.bow_index.kf_wid,
+                     "bow_kf_w": tr.bow_index.kf_w,
+                     "bow_kf_feat_word": tr.bow_index.kf_feat_word,
                      "bow_kf_valid": tr.bow_index.kf_valid}
         with tr._map_lock:
             tr.map.save(path, extra=extra)
@@ -225,8 +226,9 @@ class System:
                                branching=int(z["bow_meta"][0]),
                                depth=int(z["bow_meta"][1]))
             tr.bow_index = BowIndex(vocab, max_kf=len(z["bow_kf_valid"]))
-            tr.bow_index.kf_vec = np.array(z["bow_kf_vec"])
-            tr.bow_index.kf_words = np.array(z["bow_kf_words"])
+            tr.bow_index.kf_wid = np.array(z["bow_kf_wid"])
+            tr.bow_index.kf_w = np.array(z["bow_kf_w"])
+            tr.bow_index.kf_feat_word = np.array(z["bow_kf_feat_word"])
             tr.bow_index.kf_valid = np.array(z["bow_kf_valid"])
             tr.loop_closer = LoopCloser(tr.bow_index, tr.cam)
         tr.mapper = tr.mapper  # unchanged; works on the new arrays

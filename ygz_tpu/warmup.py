@@ -51,7 +51,10 @@ def warmup_tracking(cam, cfg=None, n_frames: int = 26,
         t = -R @ np.array([0.04 * i, 0.0, 0.0], np.float32)
         return R, t
 
-    frames = [scene.render(*pose(i), backend="numpy")
+    # uint8 frames: the camera-native format, and 4x fewer bytes over the
+    # device link than float32 (frame_step casts on device)
+    frames = [np.clip(scene.render(*pose(i), backend="numpy"), 0,
+                      255).astype(np.uint8)
               for i in range(n_frames)]
     ts = [i * 0.05 for i in range(n_frames)]
     B = max(1, scratch_cfg.track_batch)
