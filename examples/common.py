@@ -32,6 +32,13 @@ def base_parser(desc):
     p.add_argument("--viz", default=None, metavar="DIR",
                    help="dump frame overlays + final map render to DIR "
                         "(the reference's Pangolin viewer, offline)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard global bundle adjustment over the first N "
+                        "devices (landmark-block sharded distributed BA; "
+                        "0/1 = single device)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="microbatch size for tracking (frames per device "
+                        "dispatch; 0 = per-frame)")
     return p
 
 
@@ -66,6 +73,14 @@ def load_system(args, sensor, default_cam=None, **kw):
     else:
         cam = default_cam
         cfg = None
+    if getattr(args, "devices", 0) and args.devices > 1:
+        from ygz_tpu.frontend.tracker import TrackerConfig
+        cfg = cfg or TrackerConfig()
+        cfg.mesh_devices = args.devices
+    if getattr(args, "batch", 0) and args.batch > 1:
+        from ygz_tpu.frontend.tracker import TrackerConfig
+        cfg = cfg or TrackerConfig()
+        cfg.track_batch = args.batch
     return System(cam, sensor, config=cfg, **kw)
 
 

@@ -16,13 +16,30 @@ def main():
     sys_ = load_system(args, Sensor.MONOCULAR, default_cam)
     timer = TrackTimer()
     viewer = make_viewer(args)
+    batch = args.batch if args.batch and args.batch > 1 else 1
+    buf_img, buf_ts = [], []
     for i, fr in enumerate(ds):
         if args.max_frames and i >= args.max_frames:
             break
         img = fr.load()
-        with timer:
-            state, T = sys_.track_monocular(img, fr.t)
-        viewer.update(sys_.tracker, img)
+        if batch > 1:
+            # microbatched dispatch: one fused device program per chunk
+            buf_img.append(img)
+            buf_ts.append(fr.t)
+            if len(buf_img) == batch:
+                with timer:
+                    sys_.track_monocular_batch(buf_img, buf_ts)
+                timer.times[-1] /= batch   # per-frame attribution
+                timer.times += [timer.times[-1]] * (batch - 1)
+                buf_img, buf_ts = [], []
+        else:
+            with timer:
+                state, T = sys_.track_monocular(img, fr.t)
+            viewer.update(sys_.tracker, img)
+    if buf_img:
+        for im, t in zip(buf_img, buf_ts):
+            with timer:
+                sys_.track_monocular(im, t)
     timer.report()
     if args.timings:
         print(sys_.tracker.timer.report())

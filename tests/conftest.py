@@ -19,5 +19,6 @@ assert jax.devices()[0].platform == "cpu"
 
 # persistent compilation cache: the suite is dominated by jit compiles
 # (~16 min cold in round 1); cached recompiles cut repeat runs severalfold
-jax.config.update("jax_compilation_cache_dir", "/tmp/ygz_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from ygz_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()

@@ -17,7 +17,9 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # hard pin: vocabulary training is
+#                                        matmul-chunked numpy/CPU-jax work;
+#                                        it must never grab the TPU tunnel
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
@@ -36,6 +38,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache: scene-texture/render/extractor programs are
+    # shared with the test suite; a cold XLA:CPU compile of the texture
+    # blur alone measures ~200 s on this host
+    from ygz_tpu.utils.compile_cache import enable
+    enable()
     from synthetic import PlaneScene, SmoothScene, StepScene
     from ygz_tpu.frontend.extractor import OrbExtractor
     from ygz_tpu.ops.image import build_pyramid

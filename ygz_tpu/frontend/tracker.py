@@ -85,6 +85,12 @@ class TrackerConfig:
     # microbatch size for track_batch(): B consecutive frames per device
     # dispatch (one upload + execute + readback per chunk). 1 = per-frame.
     track_batch: int = 8
+    # distributed bundle adjustment: shard global BA over the first N
+    # devices (landmark-block sharding, parallel/dist_ba.py). 0/1 = single
+    # device. This is the product plumbing for the multi-chip capability
+    # the reference lacks (SURVEY §2.4) — e.g. examples/mono_euroc.py
+    # --devices N.
+    mesh_devices: int = 0
 
 
 @dataclass
@@ -113,8 +119,17 @@ class MonoTracker:
             scale_factor=self.cfg.scale_factor, fast_th=self.cfg.fast_th,
             fast_th_min=self.cfg.fast_th_min, mode=self.cfg.keypoint_mode)
         self.map = SlamMap(max_feat=1024)
+        mesh = None
+        if self.cfg.mesh_devices and self.cfg.mesh_devices > 1:
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            if len(devs) < self.cfg.mesh_devices:
+                raise ValueError(
+                    f"mesh_devices={self.cfg.mesh_devices} but only "
+                    f"{len(devs)} devices visible")
+            mesh = Mesh(np.array(devs[: self.cfg.mesh_devices]), ("obs",))
         self.mapper = LocalMapper(cam, n_levels=self.cfg.n_levels,
-                                  window=self.cfg.ba_window)
+                                  window=self.cfg.ba_window, mesh=mesh)
         self.state = State.NOT_INITIALIZED
         self.frame_id = -1
         self.trajectory: list[FrameRecord] = []

@@ -259,8 +259,11 @@ class MonoViTracker(MonoTracker):
 
     def _kf_time_gap(self, ts) -> bool:
         """cTimeGap (reference Tracking.cc:1402-1525): with the IMU running,
-        force a keyframe after 0.5 s so preintegration links stay short."""
-        if not self.vio_ready or self._last_kf < 0:
+        force a keyframe after 0.5 s so preintegration links stay short.
+        Applies from the first frame of IMU operation — BEFORE VINS init it
+        is what feeds the initializer its keyframe chain (the reference's
+        VI examples likewise run with mbUseIMU set from the start)."""
+        if self._last_kf < 0:
             return False
         return ts - float(self.map.kf_ts[self._last_kf]) > 0.5
 

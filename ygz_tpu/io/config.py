@@ -95,7 +95,10 @@ def load_settings(path_or_text: str) -> Settings:
         fast_th_min=float(get("ORBextractor.minThFAST", 7)),
         cache_refill_below=int(get("Tracking.CacheFeatures", 150)),
         kf_min_gap=int(get("Tracking.KFMinGap", 3)),
-        kf_max_gap=int(get("Tracking.KFMaxGap", 30)),
+        # reference mMaxFrames = fps: force a keyframe at least once per
+        # second of camera time (src/Tracking.cc:257 "mMaxFrames = fps")
+        kf_max_gap=int(get("Tracking.KFMaxGap",
+                           round(float(get("Camera.fps", 30.0))))),
         keypoint_mode=str(get("ORBextractor.keypointMode", "grid")),
         th_depth=float(get("ThDepth", get("Camera.ThDepth", 35.0))),
     )

@@ -51,7 +51,14 @@ def stereo_match_features(imgL, imgR, uv, valid, max_disp: int = 96,
     ptsR = jnp.stack([xR, yR], -1)
     patchR = sample_bilinear(imgR, ptsR)                        # [N,D,P,P]
 
-    sad = jnp.abs(patchR - patchL[:, None]).sum(axis=(2, 3))    # [N,D]
+    # zero-mean SAD: subtracting per-patch means makes the cost invariant
+    # to gain/offset differences between the two cameras (the reference's
+    # raw SAD relies on its descriptor pre-gate for this; our full-strip
+    # search needs the photometric invariance in the cost itself —
+    # round-2 stereo degraded 4x under photometric nuisance, ATE_r02.md)
+    muL = patchL.mean(axis=(1, 2), keepdims=True)
+    muR = patchR.mean(axis=(2, 3), keepdims=True)
+    sad = jnp.abs((patchR - muR) - (patchL - muL)[:, None]).sum(axis=(2, 3))
     # penalize out-of-image candidates
     inb = (ur - HALF >= 0)
     sad = jnp.where(inb, sad, 1e9)
@@ -82,4 +89,14 @@ def stereo_match_features(imgL, imgR, uv, valid, max_disp: int = 96,
           & (bmin < 1e8)
           & (uv[:, 1] > HALF) & (uv[:, 1] < H - HALF - 1)
           & (uv[:, 0] > HALF) & (uv[:, 0] < W - HALF - 1))
+
+    # median-distance outlier cut (reference Frame::ComputeStereoMatches
+    # epilogue, src/Frame.cc:650-680: sort best SADs, reject those above
+    # 1.5*1.4*median) — kills occluded/repetitive-texture false matches
+    # whose SAD is an outlier relative to the frame's match population
+    big = jnp.float32(1e9)
+    costs = jnp.where(ok, bmin, big)
+    k = jnp.maximum(ok.sum(), 1)
+    med = jnp.sort(costs)[(k - 1) // 2]
+    ok = ok & (bmin <= 1.5 * 1.4 * med)
     return disp, ok

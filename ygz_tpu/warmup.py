@@ -120,11 +120,10 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--focal", type=float, default=458.0)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--cache-dir", default="/tmp/ygz_jax_cache")
     a = p.parse_args(argv)
 
-    jax.config.update("jax_compilation_cache_dir", a.cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from .utils.compile_cache import enable
+    enable()
 
     from .geometry import camera as cam_mod
     from .frontend.tracker import TrackerConfig
