@@ -25,9 +25,9 @@ import jax  # noqa: E402
 # pin the CPU backend BEFORE any computation: on this machine the TPU-tunnel
 # plugin can stall for minutes at first use unless cpu is forced here too
 jax.config.update("jax_platforms", "cpu")
-# share the test suite's persistent compilation cache (tests/conftest.py)
-jax.config.update("jax_compilation_cache_dir", "/tmp/ygz_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# share the repo-local persistent compilation cache (tests/conftest.py)
+from ygz_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
 
 
 def run_mode(mode, nuisance, n_frames=50):

@@ -291,7 +291,14 @@ class LocalMapper:
             return
         win = smap.local_window(kf, self.window + 4)
         n = len(pt_ids)
-        cap = 1 << int(np.ceil(np.log2(max(n, 256))))  # bucketed problem size
+        # fixed problem size: growth-triggered bucket jumps (256->512->...)
+        # would compile fresh programs MID-RUN, and each server compile
+        # degrades the device link for minutes (utils/compile_cache.py)
+        cap = 2048
+        if n > cap:
+            keep = np.argsort(-smap.pt_obs[pt_ids])[:cap]
+            pt_ids = pt_ids[keep]
+            n = cap
         loc = np.full(smap.max_pt, -1, np.int64)
         loc[pt_ids] = np.arange(n)
         stack = np.zeros((cap, max_obs, 256), np.uint8)
