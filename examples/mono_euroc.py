@@ -31,6 +31,9 @@ def main():
                     sys_.track_monocular_batch(buf_img, buf_ts)
                 timer.times[-1] /= batch   # per-frame attribution
                 timer.times += [timer.times[-1]] * (batch - 1)
+                # --viz in batch mode: overlay the chunk's last frame (the
+                # only one whose debug state survives the batch readback)
+                viewer.update(sys_.tracker, buf_img[-1])
                 buf_img, buf_ts = [], []
         else:
             with timer:

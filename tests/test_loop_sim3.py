@@ -76,8 +76,8 @@ def test_compute_sim3_recovers_synthetic_drift():
     smap.pt_desc[ids_k] = desc
     smap.bind(kf, np.arange(n), ids_k)
 
-    class _Bow:  # detect() is not exercised here
-        pass
+    class _Bow:  # detect() is not exercised here; kf_valid all-False skips
+        kf_valid = np.zeros(16, bool)  # node gating in compute_sim3
 
     lc = LoopCloser(_Bow(), cam)
     out = lc.compute_sim3(smap, kf, cand)
@@ -156,7 +156,7 @@ def test_correct_closes_loop_and_fuses():
     smap.bind(kf, np.arange(n), ids_k)
 
     class _Bow:
-        pass
+        kf_valid = np.zeros(16, bool)
 
     lc = LoopCloser(_Bow(), cam)
     out = lc.compute_sim3(smap, kf, cand)

@@ -148,5 +148,8 @@ def test_map_capacity_growth():
                      idf=np.ones(8, np.float32), branching=2, depth=3)
     bi = BowIndex(voc, max_kf=2)
     for k in range(7):
-        bi.add_keyframe(k, np.ones(8, np.float32) / 8)
+        # sparse tf-idf pair (uids, weights) — the opaque `bow` handle
+        # produced by BowIndex.quantize
+        bi.add_keyframe(k, (np.arange(8, dtype=np.int32),
+                            np.ones(8, np.float32) / 8))
     assert bi.kf_valid[:7].all() and len(bi.kf_valid) >= 7

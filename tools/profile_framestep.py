@@ -1,0 +1,118 @@
+"""Device-time breakdown of the fused tracking step on the real TPU.
+
+VERDICT r3 weak-#2: no op-level evidence existed for where the 134 ms/frame
+device pipeline goes. This script times each stage of the fused frame step
+in isolation (pyramid build, sparse image alignment, direct local-map
+tracking, and the raw patch-sampling primitive they share) and writes a
+jax.profiler trace artifact under artifacts/trace_r4/.
+
+Run on the chip:  python tools/profile_framestep.py
+Run on CPU:       JAX_PLATFORMS=cpu python tools/profile_framestep.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ygz_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
+
+W, H, F = 752, 480, 458.0
+CAP = 512
+
+
+def timeit(fn, *args, reps=10, warm=2):
+    for _ in range(warm):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    from ygz_tpu.frontend.framestep import frame_step_batch, make_carry
+    from ygz_tpu.frontend.sparse_align import sparse_image_align
+    from ygz_tpu.frontend.direct_tracker import track_local_map_direct
+    from ygz_tpu.ops.image import build_pyramid
+    from ygz_tpu.ops.align import sample_patches, align2d
+
+    intr = (F, F, W / 2.0, H / 2.0)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, (8, H, W)).astype(np.uint8))
+    X = np.stack([rng.uniform(-2, 2, CAP), rng.uniform(-1.5, 1.5, CAP),
+                  rng.uniform(4, 9, CAP)], 1).astype(np.float32)
+    uv = np.stack([intr[0] * X[:, 0] / X[:, 2] + intr[2],
+                   intr[1] * X[:, 1] / X[:, 2] + intr[3]], 1).astype(
+                       np.float32)
+    Xj, uvj = jnp.asarray(X), jnp.asarray(uv)
+    valid = jnp.ones(CAP, bool)
+    cache = (Xj, valid,
+             jnp.asarray(rng.uniform(0, 255, (CAP, 20, 20)).astype(
+                 np.float32)),
+             uvj, jnp.zeros(CAP, jnp.int32),
+             jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1))),
+             jnp.zeros((CAP, 3)))
+
+    res = {}
+    t0 = time.perf_counter()
+    pyr_f = jax.jit(lambda im: build_pyramid(im, 4, 2.0))
+    res["pyramid_ms"] = timeit(pyr_f, img)
+    pyr = pyr_f(img)
+
+    sa = jax.jit(lambda a, b, c, d, e: sparse_image_align(
+        a, b, c, d, e, intr, jnp.eye(3), jnp.zeros(3),
+        levels=(3, 2, 1), iters=10))
+    res["sparse_align_ms"] = timeit(sa, pyr, pyr, uvj, Xj, valid)
+
+    dt = jax.jit(lambda p, *c: track_local_map_direct(
+        p, jnp.eye(3), jnp.zeros(3), *c, intr, n_levels=4))
+    res["direct_track_ms"] = timeit(dt, pyr, *cache)
+
+    # raw primitive: one 10x10 patch-sample sweep over 512 points
+    sp = jax.jit(lambda im, u: sample_patches(im, u, 10))
+    res["sample_512x10x10_ms"] = timeit(sp, pyr[0], uvj)
+
+    # one align2d call (10 iters) on level 0
+    patches = jnp.asarray(
+        rng.uniform(0, 255, (CAP, 10, 10)).astype(np.float32))
+    al = jax.jit(lambda im, p, u, v: align2d(im, p, u, v, iters=10))
+    res["align2d_L0_ms"] = timeit(al, pyr[0], patches, uvj, valid)
+
+    carry = make_carry(pyr, np.eye(3), np.zeros(3), uv, X,
+                       np.ones(CAP, bool))
+    fsb = lambda u, c: frame_step_batch(u, c, cache, None, intr)
+    for _ in range(2):
+        carry2, outs, _ = fsb(imgs, carry)
+        jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        _, outs, _ = fsb(imgs, carry)
+    jax.block_until_ready(outs)
+    res["frame_step_batch8_ms"] = (time.perf_counter() - t0) / reps * 1e3
+    res["per_frame_ms"] = res["frame_step_batch8_ms"] / 8.0
+
+    tracedir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "trace_r4")
+    os.makedirs(tracedir, exist_ok=True)
+    with jax.profiler.trace(tracedir):
+        _, outs, _ = fsb(imgs, carry)
+        jax.block_until_ready(outs)
+    res["trace_dir"] = tracedir
+    res["platform"] = jax.devices()[0].platform
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,9 @@ essential-graph optimization). Runs synchronously at keyframe rate on the
 host, with all numerics (matching, Sim3 RANSAC, pose graph) as batched jitted
 calls.
 
-Global BA after loop correction is deferred to the next rounds; the
-essential-graph correction is the accuracy-critical step.
+After a correction the tracker runs a full bucketed global BA
+(frontend/tracker.py `_mapping_tail`), mirroring the reference's
+RunGlobalBundleAdjustment thread (src/LoopClosing.cc:538).
 """
 from __future__ import annotations
 

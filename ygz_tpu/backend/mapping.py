@@ -119,7 +119,8 @@ class LocalMapper:
         # problem by a capacity bucket is counted here and surfaced through
         # tracker.stats()["ba_dropped"].
         self.dropped = {"local_ba_points": 0, "local_ba_obs": 0,
-                        "global_ba_points": 0, "global_ba_obs": 0}
+                        "global_ba_points": 0, "global_ba_obs": 0,
+                        "desc_update_points": 0}
 
     # ------------------------------------------------------------ triangulate
     def create_new_points(self, smap: SlamMap, kf_new: int, kf_prev: int,
@@ -296,6 +297,9 @@ class LocalMapper:
         # degrades the device link for minutes (utils/compile_cache.py)
         cap = 2048
         if n > cap:
+            # no-silent-caps: account for descriptor updates shed by the
+            # fixed bucket (ADVICE r3)
+            self.dropped["desc_update_points"] += n - cap
             keep = np.argsort(-smap.pt_obs[pt_ids])[:cap]
             pt_ids = pt_ids[keep]
             n = cap

@@ -658,6 +658,14 @@ class MonoTracker:
             # map (async-LocalMapping semantics) instead of the carry.
             self._set_last_frame(pyr_fn(), R_cur, t_cur,
                                  cache_uv=(t_ids, t_uv))
+        elif batch_mode and recovered:
+            # clean in-batch keyframe: the device carry keeps the
+            # UNcorrected chain, so the host pose mirror must too — mixing
+            # the BA-corrected pose into _last_R/_last_t would poison the
+            # next frame's velocity mirror (ADVICE r3). The corrected pose
+            # still flows to the caller/trajectory via the return value.
+            self._last_R = np.asarray(out.R, np.float32)
+            self._last_t = np.asarray(out.t, np.float32)
         else:
             # common case: the carry already advanced on device; only the
             # cheap host mirrors need updating

@@ -466,8 +466,12 @@ class MonoViTracker(MonoTracker):
         # analog here because the solve runs inside the (serialized)
         # mapping tail, so no KFs can be created meanwhile.
         chain = [k for k in kfs if smap.kf_valid[k] and k in self._kf_ns]
-        W_gba = next(w for w in (10, 16, 24, 32, 48, 64, 96, 128)
-                     if w >= len(chain))
+        # bucket cap: a chain longer than the largest bucket (long or poorly
+        # excited init) is truncated to its most recent 128 KFs instead of
+        # crashing the mapping tail (ADVICE r3)
+        W_gba = next((w for w in (10, 16, 24, 32, 48, 64, 96, 128)
+                      if w >= len(chain)), 128)
+        chain = chain[-W_gba:]
         self._navstate_ba(smap, kfs[-1], chain, W_gba, iters=10)
         R_cw, t_cw = self._body_to_cam(*[self._ns[i] for i in (2, 0)])
         self._last_R, self._last_t = R_cw, t_cw

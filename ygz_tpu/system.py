@@ -1,14 +1,13 @@
 """System facade: the public entry point of the TPU-native SLAM engine.
 
 Mirrors the reference's System class (/root/reference/src/System.cc,
-include/System.h): sensor-mode construction, per-frame Track* entry points,
-trajectory savers (TUM format), reset. Threads are replaced by synchronous
-host orchestration of jitted device stages (async overlap planned).
-
-Currently implemented: MONOCULAR visual odometry/SLAM (two-view init, sparse
-direct alignment, direct local-map tracking, local BA). STEREO / RGBD /
-MONO_VI are scaffolded and land in subsequent rounds (SURVEY.md §7.2 stages
-6-7).
+include/System.h): sensor-mode construction, all four per-frame Track*
+entry points (MONOCULAR / STEREO / RGBD / MONO_VI) plus the microbatched
+track_monocular_batch, trajectory savers (TUM frame/KF, KITTI, NavState),
+reset, localization-only mode, and map save/load (the reference's
+SaveMap/LoadMap are TODOs, include/System.h:129-131). The reference's
+threads are replaced by jitted device stages driven from the host, with the
+mapping tail optionally on an async worker (TrackerConfig.async_mapping).
 """
 from __future__ import annotations
 
@@ -220,6 +219,14 @@ class System:
                              "(saved before initialization?)")
         tr.map = loaded
         z = np.load(path)
+        if "bow_kf_vec" in z or "bow_kf_words" in z:
+            # pre-sparse-BoW checkpoint layout (dense [K,W] vectors) —
+            # no migration path; fail with a clear message instead of a
+            # KeyError deep in the loader (ADVICE r3)
+            raise ValueError(
+                f"{path}: checkpoint predates the sparse-BoW format "
+                "(found dense bow_kf_vec/bow_kf_words keys); re-save the "
+                "map with this version to upgrade")
         if "bow_words" in z:
             vocab = Vocabulary(words=z["bow_words"], groups=z["bow_groups"],
                                idf=z["bow_idf"],
