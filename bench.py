@@ -34,6 +34,23 @@ _enable_cache()
 W, H, F = 752, 480, 458.0
 BATCH = 8
 
+# fresh-compile accounting: a server-side XLA compile in THIS process both
+# stalls the caller and degrades the tunnel's dispatch RTT for minutes, so
+# the steady state must be 100% persistent-cache hits. Reported in the
+# output JSON so every run's compile hygiene is auditable (VERDICT r3 #8).
+_compile_events = {"cache_hits": 0, "cache_misses": 0}
+try:
+    from jax._src import monitoring as _monitoring
+
+    def _count_event(event, **kw):
+        for k in _compile_events:
+            if event.endswith(k):
+                _compile_events[k] += 1
+
+    _monitoring.register_event_listener(_count_event)
+except Exception:  # monitoring API moved — accounting becomes "unknown"
+    _compile_events = None
+
 # pre-compiled RTT probe (compiling a probe mid-bench would degrade the link)
 _probe = jax.jit(lambda x: x + 1.0)
 _px = jnp.zeros(())
@@ -112,6 +129,7 @@ def bench_system(n_frames: int = 240, warmup_frames: int = 48,
 
     # ---- timed steady-state loop ----------------------------------------
     per_chunk = []   # (n_frames_in_chunk, seconds)
+    rtts = []        # link health trajectory across the run
     t0 = time.perf_counter()
     i = warmup_frames
     while i < total:
@@ -120,6 +138,9 @@ def bench_system(n_frames: int = 240, warmup_frames: int = 48,
                                        ts[i: i + BATCH])
         per_chunk.append((len(r), time.perf_counter() - t1))
         i += len(r)
+        t2 = time.perf_counter()
+        rtts.append(measure_rtt(reps=2))
+        t0 += time.perf_counter() - t2   # probe time excluded from the run
     dt = time.perf_counter() - t0
     t_d = time.perf_counter()
     sys_.shutdown()   # drain the async tail (reference excludes its
@@ -140,6 +161,8 @@ def bench_system(n_frames: int = 240, warmup_frames: int = 48,
         "n_kf": stats["n_kf"],
         "stage_ms": {k: round(v, 2) for k, v in stats["stage_ms"].items()},
         "rtt_before_ms": rtt0,
+        "rtt_run_p50_ms": float(np.percentile(rtts, 50)),
+        "rtt_run_max_ms": float(np.max(rtts)),
     }
 
 
@@ -147,8 +170,9 @@ def bench_device_pipeline():
     """Kernel-ceiling secondary number: the fused 8-frame tracking program
     alone (pyramid + sparse align + direct track + carry chain), dispatch +
     completion, no host bookkeeping."""
-    from ygz_tpu.frontend.framestep import frame_step_batch, make_carry
-    from ygz_tpu.ops.image import build_pyramid
+    from ygz_tpu.frontend.framestep import (frame_step_batch, make_carry,
+                                            pack_cache_np,
+                                            build_pyramid_dispatch)
 
     intr = (F, F, W / 2.0, H / 2.0)
     rng = np.random.default_rng(0)
@@ -160,14 +184,13 @@ def bench_device_pipeline():
     uv = np.stack([intr[0] * X[:, 0] / X[:, 2] + intr[2],
                    intr[1] * X[:, 1] / X[:, 2] + intr[3]], 1).astype(
                        np.float32)
-    cache = (jnp.asarray(X), jnp.ones(cap, bool),
-             jnp.asarray(rng.uniform(0, 255, (cap, 20, 20)).astype(
-                 np.float32)),
-             jnp.asarray(uv), jnp.zeros(cap, jnp.int32),
-             jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
-                                 (cap, 1, 1))),
-             jnp.zeros((cap, 3)))
-    pyr0 = build_pyramid(jnp.asarray(imgs[0], jnp.float32), 4, 2.0)
+    cache = jnp.asarray(pack_cache_np(
+        X, np.ones(cap, bool),
+        rng.uniform(0, 255, (cap, 20, 20)).astype(np.float32),
+        uv, np.zeros(cap, np.int32),
+        np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1)),
+        np.zeros((cap, 3), np.float32)))
+    pyr0 = build_pyramid_dispatch(jnp.asarray(imgs[0]), None, 4, 2.0)
     carry = make_carry(pyr0, np.eye(3), np.zeros(3), uv, X,
                        np.ones(cap, bool))
     up = jnp.asarray(imgs)
@@ -257,7 +280,16 @@ def main():
         "stage_ms": res["stage_ms"],
         "dispatch_rtt_ms": round(rtt_start, 3),
         "rtt_after_warmup_ms": round(res["rtt_before_ms"], 3),
+        "rtt_run_p50_ms": round(res["rtt_run_p50_ms"], 3),
+        "rtt_run_max_ms": round(res["rtt_run_max_ms"], 3),
         "rtt_end_ms": round(rtt_end, 3),
+        # fresh server compiles in THIS process (must be ~0 for a valid
+        # steady-state measurement; compiles belong in the warmup
+        # subprocess + persistent cache)
+        "fresh_compiles": (None if _compile_events is None
+                           else _compile_events["cache_misses"]),
+        "compile_cache_hits": (None if _compile_events is None
+                               else _compile_events["cache_hits"]),
     }))
 
 

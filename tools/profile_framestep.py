@@ -39,7 +39,8 @@ def timeit(fn, *args, reps=10, warm=2):
 
 
 def main():
-    from ygz_tpu.frontend.framestep import frame_step_batch, make_carry
+    from ygz_tpu.frontend.framestep import (frame_step_batch, make_carry,
+                                            pack_cache_np)
     from ygz_tpu.frontend.sparse_align import sparse_image_align
     from ygz_tpu.frontend.direct_tracker import track_local_map_direct
     from ygz_tpu.ops.image import build_pyramid
@@ -57,9 +58,12 @@ def main():
                        np.float32)
     Xj, uvj = jnp.asarray(X), jnp.asarray(uv)
     valid = jnp.ones(CAP, bool)
-    cache = (Xj, valid,
-             jnp.asarray(rng.uniform(0, 255, (CAP, 20, 20)).astype(
-                 np.float32)),
+    patches = rng.uniform(0, 255, (CAP, 20, 20)).astype(np.float32)
+    cache_packed = jnp.asarray(pack_cache_np(
+        X, np.ones(CAP, bool), patches, uv, np.zeros(CAP, np.int32),
+        np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1)),
+        np.zeros((CAP, 3), np.float32)))
+    cache = (Xj, valid, jnp.asarray(patches),
              uvj, jnp.zeros(CAP, jnp.int32),
              jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1))),
              jnp.zeros((CAP, 3)))
@@ -91,7 +95,7 @@ def main():
 
     carry = make_carry(pyr, np.eye(3), np.zeros(3), uv, X,
                        np.ones(CAP, bool))
-    fsb = lambda u, c: frame_step_batch(u, c, cache, None, intr)
+    fsb = lambda u, c: frame_step_batch(u, c, cache_packed, None, intr)
     for _ in range(2):
         carry2, outs, _ = fsb(imgs, carry)
         jax.block_until_ready(outs)

@@ -159,7 +159,7 @@ class LocalMapper:
         # what lets small-parallax pairs produce usable depths (the reference
         # instead relies on many-KF re-observation + BA to average the noise).
         if smap.kf_pyr[kf_prev] is not None and len(slotsA) >= 4:
-            from ..frontend.direct_tracker import track_local_map_direct
+            from ..frontend.direct_tracker import refine_matches_direct
             cap = 512
             n = min(len(slotsA), cap)
             slotsA = slotsA[:n]
@@ -179,7 +179,10 @@ class LocalMapper:
                 n_levels=self.n_levels)
             RA_ = np.tile(smap.kf_R[kf_new], (cap, 1, 1)).astype(np.float32)
             tA_ = np.tile(smap.kf_t[kf_new], (cap, 1)).astype(np.float32)
-            dres = track_local_map_direct(
+            # single-pass KLT against the KNOWN kf_prev pose — the full
+            # track_local_map_direct megaprogram also ran two staged pose
+            # optimizations this path discards (VERDICT r3 #3)
+            ref_uv, ref_ok = refine_matches_direct(
                 tuple(smap.kf_pyr[kf_prev]),
                 jnp.asarray(smap.kf_R[kf_prev]),
                 jnp.asarray(smap.kf_t[kf_prev]),
@@ -197,13 +200,13 @@ class LocalMapper:
             X2, good2 = _retriangulate(
                 jnp.asarray(PA.astype(np.float32)),
                 jnp.asarray(PB.astype(np.float32)),
-                jnp.asarray(uvA), dres.uv,
+                jnp.asarray(uvA), ref_uv,
                 jnp.asarray(smap.kf_R[kf_new]), jnp.asarray(smap.kf_t[kf_new]),
                 jnp.asarray(smap.kf_R[kf_prev]),
                 jnp.asarray(smap.kf_t[kf_prev]),
                 jnp.asarray(self.K.astype(np.float32)),
                 jnp.float32(med_depth),
-                jnp.asarray(vmask) & dres.aligned)
+                jnp.asarray(vmask) & ref_ok)
             X2 = np.asarray(X2)[:n]
             good2 = np.asarray(good2)[:n]
             keep = np.nonzero(good2)[0]

@@ -36,9 +36,10 @@ from ..ops import matching, select
 from ..ops.image import build_pyramid
 from .extractor import OrbExtractor, describe_at
 from .sparse_align import sparse_image_align
-from .direct_tracker import track_local_map_direct, capture_ref_patches
+from .direct_tracker import capture_ref_patches  # noqa: F401 (re-export)
 from .framestep import (frame_step, frame_step_batch, make_carry,
-                        unpack_out)
+                        unpack_out, unstack_pyramid, pack_cache_np,
+                        pack_pred_np, build_pyramid_dispatch)
 
 
 class State(enum.Enum):
@@ -134,10 +135,11 @@ class MonoTracker:
         self.frame_id = -1
         self.trajectory: list[FrameRecord] = []
 
-        # undistortion remap (None when the camera has no distortion)
+        # undistortion remap, stacked [2,H,W] = ONE device buffer (None when
+        # the camera has no distortion)
         if float(np.abs(np.asarray(cam.dist)).sum()) > 0:
             mu, mv = cam_mod.undistort_remap_grid(cam)
-            self._remap = (mu, mv)
+            self._remap = jnp.stack([jnp.asarray(mu), jnp.asarray(mv)])
         else:
             self._remap = None
 
@@ -230,11 +232,16 @@ class MonoTracker:
 
     # ------------------------------------------------------------------ utils
     def _build_pyramid(self, img):
-        img = jnp.asarray(img, jnp.float32)
-        if self._remap is not None:
-            from ..ops.image import remap
-            img = remap(img, *self._remap)
-        return build_pyramid(img, self.cfg.n_levels, self.cfg.scale_factor)
+        """Pyramid (+ optional undistort) as ONE jitted dispatch — the
+        eager op-by-op build cost a link round-trip per op."""
+        return build_pyramid_dispatch(jnp.asarray(img), self._remap,
+                                      self.cfg.n_levels,
+                                      self.cfg.scale_factor)
+
+    def _unstack(self, pyr_stack):
+        return unstack_pyramid(pyr_stack, self.cfg.n_levels,
+                               self.cfg.scale_factor,
+                               height=self.cam.height)
 
     def _pose_np(self, R, t):
         return np.asarray(R), np.asarray(t)
@@ -444,17 +451,14 @@ class MonoTracker:
         # reference PredictNavStateByIMU src/Tracking.cc:2078); the fused
         # step falls back to the on-device velocity model otherwise
         pred = self._predict_pose()
-        use_pred = pred is not None
-        if use_pred:
-            pR = np.asarray(pred[0], np.float32)
-            pt_ = np.asarray(pred[1], np.float32)
+        if pred is not None:
+            pred_vec = jnp.asarray(pack_pred_np(pred[0], pred[1], True))
         else:
-            # device-cached constants: the mono path would otherwise upload
-            # identity pred arrays every frame (3 extra link round-trips)
+            # device-cached constant: the mono path would otherwise upload
+            # an identity pred vector every frame (an extra link transfer)
             if not hasattr(self, "_no_pred_dev"):
-                self._no_pred_dev = (jnp.eye(3), jnp.zeros(3),
-                                     jnp.asarray(False))
-            pR, pt_, use_pred = self._no_pred_dev
+                self._no_pred_dev = jnp.asarray(pack_pred_np())
+            pred_vec = self._no_pred_dev
 
         # cache refill (lock-free read of the published snapshot; rebuild
         # only when the mapper is idle so we never contend with the tail)
@@ -468,7 +472,7 @@ class MonoTracker:
 
         self.timer.total["frame_step"] -= time.perf_counter()
         self._carry, out = frame_step(
-            jnp.asarray(img), self._carry, dev, pR, pt_, use_pred,
+            jnp.asarray(img), self._carry, dev, pred_vec,
             self._remap, self.intr, n_levels=cfg.n_levels,
             scale_factor=cfg.scale_factor, min_align=cfg.min_align_points)
         # ONE device->host transfer (a single packed buffer) for everything
@@ -479,7 +483,8 @@ class MonoTracker:
         self.timer.count["frame_step"] += 1
 
         ok, R, t, _ = self._consume_out(out, ids, ts,
-                                        lambda: self._carry.pyr)
+                                        lambda: self._unstack(
+                                            self._carry.pyr))
         return ok, R, t
 
     # ----------------------------------------------------------- batch track
@@ -534,7 +539,7 @@ class MonoTracker:
                 out_b = unpack_out(outs[b], cfg.max_track)
 
                 def pyr_b(b=b):
-                    return tuple(pyrs[l][b] for l in range(cfg.n_levels))
+                    return self._unstack(pyrs[b])
 
                 ok, R, t, clean = self._consume_out(
                     out_b, ids, timestamps[i + b], pyr_b, batch_mode=True)
@@ -811,7 +816,8 @@ class MonoTracker:
             return a[ids][:cap]
 
         pvalid = g(smap.pt_valid)
-        self._cache_dev = tuple(jnp.asarray(x) for x in (
+        # ONE packed upload buffer (framestep.CACHE_COLS layout)
+        self._cache_dev = jnp.asarray(pack_cache_np(
             g(smap.pt_xyz), pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
             g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t)))
         self._publish_snapshot()
@@ -1017,21 +1023,11 @@ class MonoTracker:
                 f["level"][slots[:n][rows]].astype(np.int32))
 
     # -------------------------------------------------------------- keyframes
-    def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
-                         tracked_lvl):
-        smap = self.map
+    def _extract_kf_features(self, pyr, uv_pad, lvl_pad, val_pad):
+        """Descriptors/angles at the tracked positions (deferred extraction
+        — the core of the reference's 3x speedup, include/Frame.h:298) plus
+        fresh grid/octree features in the unoccupied image area."""
         cfg = self.cfg
-        cap = cfg.max_track
-        m = min(len(tracked_ids), cap)
-
-        # descriptors/angles at tracked positions (deferred extraction — the
-        # core of the reference's 3x speedup, include/Frame.h:298)
-        uv_pad = np.zeros((cap, 2), np.float32)
-        lvl_pad = np.zeros(cap, np.int32)
-        val_pad = np.zeros(cap, bool)
-        uv_pad[:m] = tracked_uv[:m]
-        lvl_pad[:m] = tracked_lvl[:m]
-        val_pad[:m] = True
         ang, desc = describe_at(pyr, jnp.asarray(uv_pad),
                                 jnp.asarray(lvl_pad), jnp.asarray(val_pad),
                                 n_levels=cfg.n_levels,
@@ -1043,7 +1039,7 @@ class MonoTracker:
         occ = []
         for l in range(cfg.n_levels):
             s = 0.5 ** l
-            h, w = (np.asarray(pyr[l]).shape)
+            h, w = pyr[l].shape
             uv_l = (uv_pad + 0.5) * s - 0.5
             occ.append(select.stamp_occupancy(
                 h, w, jnp.asarray(uv_l), jnp.asarray(val_pad),
@@ -1059,6 +1055,55 @@ class MonoTracker:
             "valid": np.concatenate([val_pad, nf.valid]),
         }
         feats["ur"] = self._feature_ur(feats, pyr)
+        return feats
+
+    def _extract_into_kf(self, kf, pyr, uv_pad, lvl_pad, val_pad):
+        """Tail half of deferred keyframe extraction: compute the full
+        feature set and write it into the (already-added) keyframe's rows.
+        Runs on the mapping worker BEFORE the keyframe's mapping tail, so
+        triangulation/fusion/BoW always see complete descriptors."""
+        feats = self._extract_kf_features(pyr, uv_pad, lvl_pad, val_pad)
+        smap = self.map
+        with self._map_lock:
+            mm = min(len(feats["uv"]), smap.max_feat)
+            smap.kf_feat_uv[kf, :mm] = feats["uv"][:mm]
+            smap.kf_feat_level[kf, :mm] = feats["level"][:mm]
+            smap.kf_feat_desc[kf, :mm] = feats["desc"][:mm]
+            smap.kf_feat_angle[kf, :mm] = feats["angle"][:mm]
+            smap.kf_feat_valid[kf, :mm] = feats["valid"][:mm]
+            smap.kf_feat_ur[kf, :mm] = feats["ur"][:mm]
+
+    def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
+                         tracked_lvl):
+        smap = self.map
+        cfg = self.cfg
+        cap = cfg.max_track
+        m = min(len(tracked_ids), cap)
+
+        uv_pad = np.zeros((cap, 2), np.float32)
+        lvl_pad = np.zeros(cap, np.int32)
+        val_pad = np.zeros(cap, bool)
+        uv_pad[:m] = tracked_uv[:m]
+        lvl_pad[:m] = tracked_lvl[:m]
+        val_pad[:m] = True
+
+        # off-thread extraction (VERDICT r3 #3): with the async worker the
+        # tracking thread only records the KF skeleton (pose + tracked
+        # binds); descriptors + fresh features land in the worker BEFORE the
+        # KF's mapping tail. Depth-seeded modes keep inline extraction (the
+        # per-frame depth map feeds _create_depth_points immediately).
+        defer = (cfg.async_mapping and self._map_worker is not None
+                 and not self._depth_source_available()
+                 and not self.localization_only)
+        if defer:
+            feats = {
+                "uv": uv_pad, "level": lvl_pad, "valid": val_pad,
+                "angle": np.zeros(cap, np.float32),
+                "desc": np.zeros((cap, 256), np.uint8),
+                "ur": np.full(cap, -1.0, np.float32),
+            }
+        else:
+            feats = self._extract_kf_features(pyr, uv_pad, lvl_pad, val_pad)
         with self._map_lock:
             kf = smap.add_keyframe(R, t, feats, ts=ts,
                                    frame_id=self.frame_id, pyramid=pyr)
@@ -1077,7 +1122,11 @@ class MonoTracker:
         self._on_keyframe_created(kf, ts)
 
         if self.cfg.async_mapping and self._map_worker is not None:
-            self._map_queue.put(lambda: self._mapping_tail(kf, pyr))
+            def tail_job():
+                if defer:
+                    self._extract_into_kf(kf, pyr, uv_pad, lvl_pad, val_pad)
+                self._mapping_tail(kf, pyr)
+            self._map_queue.put(tail_job)
             # tracking keeps the pre-BA pose; corrections land via the map
             return smap.kf_R[kf].copy(), smap.kf_t[kf].copy()
         self._mapping_tail(kf, pyr)
