@@ -7,169 +7,187 @@ sparse alignment, direct local-map tracking (fused as one device program per
 8-frame microbatch), host bookkeeping, and the keyframe tail (feature
 extraction, triangulation, fusion, local BA, culling, BoW) amortized at the
 real keyframe rate with the async mapping worker overlapping the tail like
-the reference's LocalMapping thread. Rendering happens before the timed
-loop; warmup (AOT compilation of every steady-state program + link-recovery
-wait, see ygz_tpu/warmup.py) is reported separately.
+the reference's LocalMapping thread.
 
 Baseline: the reference tracks at ~20 ms/frame (~50 FPS) after its native
 FAST integration (Note.md:132, BASELINE.md). vs_baseline = fps / 50; the
 BASELINE.json target is >3x (150 FPS).
 
+## Process structure (load-bearing on the tunneled device)
+
+Measured behavior of the device tunnel (tools/profile_framestep.py, r4):
+a big server-side XLA compile permanently degrades the dispatch RTT
+(~0.05 ms -> ~26 ms) of EVERY connection open at that moment — including
+idle ones — while connections created afterwards are healthy, and
+persistent-cache LOADS are harmless. So the run is staged across
+processes:
+
+  supervisor (no jax)  ->  renders frames to /tmp (pure numpy)
+    -> phase 1 subprocess: ygz_tpu.warmup (absorbs ALL fresh compiles into
+       the persistent cache; its own connection is sacrificial)
+    -> phase 2 subprocess: the TIMED run (fresh connection, pure cache
+       hits) — System loop + device-pipeline ceiling + RTT probes; prints
+       the JSON line this file relays.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
-
-# persistent jit cache (repo-local): compiles from any previous run are
-# reused, so warmup measures cache loads rather than server XLA compiles
-# over the device tunnel — cache loads do not degrade the link's RTT,
-# fresh server compiles do (ygz_tpu/utils/compile_cache.py)
-from ygz_tpu.utils.compile_cache import enable as _enable_cache
-_enable_cache()
 
 W, H, F = 752, 480, 458.0
 BATCH = 8
-
-# fresh-compile accounting: a server-side XLA compile in THIS process both
-# stalls the caller and degrades the tunnel's dispatch RTT for minutes, so
-# the steady state must be 100% persistent-cache hits. Reported in the
-# output JSON so every run's compile hygiene is auditable (VERDICT r3 #8).
-_compile_events = {"cache_hits": 0, "cache_misses": 0}
-try:
-    from jax._src import monitoring as _monitoring
-
-    def _count_event(event, **kw):
-        for k in _compile_events:
-            if event.endswith(k):
-                _compile_events[k] += 1
-
-    _monitoring.register_event_listener(_count_event)
-except Exception:  # monitoring API moved — accounting becomes "unknown"
-    _compile_events = None
-
-# pre-compiled RTT probe (compiling a probe mid-bench would degrade the link)
-_probe = jax.jit(lambda x: x + 1.0)
-_px = jnp.zeros(())
+N_FRAMES = 240
+WARM_FRAMES = 48
+FRAMES_NPY = "/tmp/ygz_bench_frames.npy"
 
 
-def measure_rtt(reps: int = 20):
-    """Per-dispatch round-trip latency of the device link. Healthy ~0.1 ms;
-    degrades to 26-50 ms for minutes after server-side XLA compiles — the
-    round-2 benchmark collapse. Reported so numbers are interpretable."""
-    jax.block_until_ready(_probe(_px))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(_probe(_px))
-    return (time.perf_counter() - t0) / reps * 1e3
+# --------------------------------------------------------------------- phases
+def render_frames():
+    """Pure-numpy rendering (no device contact: building the texture or
+    sampling on the accelerator would be this process's one big compile)."""
+    from ygz_tpu.utils.synthetic import SmoothScene
+
+    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=2400)
+
+    def so3_np(w):
+        """Rodrigues in numpy — jax.lie here would open this process's
+        device connection and compile (see module docstring)."""
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3, dtype=np.float32)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                      [-k[1], k[0], 0]], np.float32)
+        return (np.eye(3) + np.sin(th) * K
+                + (1 - np.cos(th)) * (K @ K)).astype(np.float32)
+
+    def euroc_pose(i):
+        yaw = 0.12 * np.sin(i * 0.21)
+        pitch = 0.04 * np.sin(i * 0.13)
+        R = so3_np(np.array([pitch, yaw, 0.0], np.float32))
+        c = np.array([0.05 * i, 0.25 * np.sin(i * 0.09),
+                      0.3 * np.sin(i * 0.05)], np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    total = WARM_FRAMES + N_FRAMES
+    frames = np.stack([
+        np.clip(scene.render(*euroc_pose(i), backend="numpy"), 0,
+                255).astype(np.uint8) for i in range(total)])
+    np.save(FRAMES_NPY, frames)
+    return total
 
 
-def euroc_pose(i):
-    """EuRoC-MH-like cadence: ~1 m/s forward-lateral sweep + yaw wobble at
-    20 fps against a scene ~5 m away (VERDICT r2 #10: the round-2 bench's
-    2 cm/frame drift was gentler than real sequences)."""
-    from ygz_tpu.geometry import lie
+def timed_child():
+    """Phase-2 subprocess: fresh device connection, cache-warm programs.
+    Runs the System benchmark + the device-pipeline ceiling and prints the
+    final JSON line (prefixed RESULT)."""
+    from ygz_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
 
-    yaw = 0.12 * np.sin(i * 0.21)
-    pitch = 0.04 * np.sin(i * 0.13)
-    R = np.asarray(lie.so3_exp(jnp.asarray(
-        np.array([pitch, yaw, 0.0], np.float32))))
-    c = np.array([0.05 * i, 0.25 * np.sin(i * 0.09), 0.3 * np.sin(i * 0.05)],
-                 np.float32)
-    return R, (-R @ c).astype(np.float32)
+    # fresh-compile accounting: the steady state must be 100% cache hits —
+    # one big server compile here poisons this connection for the whole
+    # run (see module docstring). Audited in the output JSON.
+    events = {"cache_hits": 0, "cache_misses": 0}
+    try:
+        from jax._src import monitoring as _monitoring
 
+        def _count(event, **kw):
+            for k in events:
+                if event.endswith(k):
+                    events[k] += 1
 
-def bench_system(n_frames: int = 240, warmup_frames: int = 48,
-                 verbose: bool = False):
+        _monitoring.register_event_listener(_count)
+    except Exception:
+        events = None
+
+    probe = jax.jit(lambda x: x + 1.0)
+    px = jnp.zeros(())
+
+    def rtt(reps=8):
+        jax.block_until_ready(probe(px))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(probe(px))
+        return (time.perf_counter() - t0) / reps * 1e3
+
     from ygz_tpu.geometry import camera as cam_mod
     from ygz_tpu.system import System, Sensor
     from ygz_tpu.frontend.tracker import TrackerConfig
-    from ygz_tpu.utils.synthetic import SmoothScene
-    from ygz_tpu.warmup import warmup_tracking, wait_link_healthy
-    import sys as _sys
 
-    def log(msg):
-        if verbose:
-            print(msg, file=_sys.stderr, flush=True)
-
-    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=2400)
-    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy, W, H)
+    frames = np.load(FRAMES_NPY)
+    ts = [i * 0.05 for i in range(len(frames))]
+    rtt0 = rtt()
+    cam = cam_mod.Camera.make(F, F, W / 2.0, H / 2.0, W, H)
     cfg = TrackerConfig(async_mapping=True, track_batch=BATCH)
-
-    total = warmup_frames + n_frames
-    t_r = time.perf_counter()
-    # uint8: camera-native, 4x fewer upload bytes than f32 (361 KB/frame)
-    frames = [np.clip(scene.render(*euroc_pose(i), backend="numpy"), 0,
-                      255).astype(np.uint8)
-              for i in range(total)]
-    ts = [i * 0.05 for i in range(total)]
-    log(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s")
-
-    # ---- AOT warmup in a SUBPROCESS: XLA server compiles degrade the
-    # issuing channel's RTT for minutes (measured 0.1 -> 26-50 ms), so the
-    # compiles run on a throwaway channel and only populate the shared
-    # persistent cache; this process then loads pure cache hits ----------
-    import subprocess
-    import sys as _s
-    t_w = time.perf_counter()
-    subprocess.run(
-        [_s.executable, "-m", "ygz_tpu.warmup", "--width", str(W),
-         "--height", str(H), "--focal", str(F), "--batch", str(BATCH)],
-        cwd="/root/repo", capture_output=True, timeout=1500)
-    warmup_s = time.perf_counter() - t_w
-    rtt0 = wait_link_healthy(threshold_ms=1.0, max_wait_s=900.0)
-    log(f"warmup {warmup_s:.1f}s, link rtt {rtt0:.3f} ms")
-
     sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
-    for i in range(0, warmup_frames, BATCH):
-        sys_.track_monocular_batch(frames[i: i + BATCH], ts[i: i + BATCH])
+    for i in range(0, WARM_FRAMES, BATCH):
+        sys_.track_monocular_batch(list(frames[i: i + BATCH]),
+                                   ts[i: i + BATCH])
 
-    # ---- timed steady-state loop ----------------------------------------
-    per_chunk = []   # (n_frames_in_chunk, seconds)
-    rtts = []        # link health trajectory across the run
+    per_chunk = []
+    rtts = []
     t0 = time.perf_counter()
-    i = warmup_frames
+    i = WARM_FRAMES
+    total = len(frames)
     while i < total:
         t1 = time.perf_counter()
-        r = sys_.track_monocular_batch(frames[i: i + BATCH],
+        r = sys_.track_monocular_batch(list(frames[i: i + BATCH]),
                                        ts[i: i + BATCH])
         per_chunk.append((len(r), time.perf_counter() - t1))
         i += len(r)
         t2 = time.perf_counter()
-        rtts.append(measure_rtt(reps=2))
-        t0 += time.perf_counter() - t2   # probe time excluded from the run
+        rtts.append(rtt(reps=2))
+        t0 += time.perf_counter() - t2   # probe time excluded
     dt = time.perf_counter() - t0
     t_d = time.perf_counter()
-    sys_.shutdown()   # drain the async tail (reference excludes its
-    drain_s = time.perf_counter() - t_d  # LocalMapping thread time too)
+    sys_.shutdown()
+    drain_s = time.perf_counter() - t_d
 
-    n_ok = sum(1 for rec in sys_.trajectory[warmup_frames:]
+    n_ok = sum(1 for rec in sys_.trajectory[WARM_FRAMES:]
                if rec.state == "OK")
     pf_ms = np.asarray([s / n * 1e3 for n, s in per_chunk])
     stats = sys_.tracker.stats()
-    return {
-        "throughput_fps": n_frames / dt,
-        "p50_ms": float(np.percentile(pf_ms, 50)),
-        "p90_ms": float(np.percentile(pf_ms, 90)),
-        "max_ms": float(pf_ms.max()),
-        "warmup_s": warmup_s,
-        "drain_s": drain_s,
+    pipeline_fps = device_pipeline_fps()
+    fps = N_FRAMES / dt
+    out = {
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 50.0, 3),
+        "p50_frame_ms": round(float(np.percentile(pf_ms, 50)), 2),
+        "p90_frame_ms": round(float(np.percentile(pf_ms, 90)), 2),
+        "max_frame_ms": round(float(pf_ms.max()), 2),
+        "mapping_drain_s": round(drain_s, 1),
+        "device_pipeline_fps": round(pipeline_fps, 2),
         "frames_ok": n_ok,
-        "n_kf": stats["n_kf"],
-        "stage_ms": {k: round(v, 2) for k, v in stats["stage_ms"].items()},
-        "rtt_before_ms": rtt0,
-        "rtt_run_p50_ms": float(np.percentile(rtts, 50)),
-        "rtt_run_max_ms": float(np.max(rtts)),
+        "n_keyframes": stats["n_kf"],
+        "stage_ms": {k: round(v, 2)
+                     for k, v in stats["stage_ms"].items()},
+        "rtt_start_ms": round(rtt0, 3),
+        "rtt_run_p50_ms": round(float(np.percentile(rtts, 50)), 3),
+        "rtt_run_max_ms": round(float(np.max(rtts)), 3),
+        "rtt_end_ms": round(rtt(), 3),
+        "fresh_compiles": (None if events is None
+                           else events["cache_misses"]),
+        "compile_cache_hits": (None if events is None
+                               else events["cache_hits"]),
     }
+    print("RESULT " + json.dumps(out), flush=True)
 
 
-def bench_device_pipeline():
+def device_pipeline_fps():
     """Kernel-ceiling secondary number: the fused 8-frame tracking program
     alone (pyramid + sparse align + direct track + carry chain), dispatch +
     completion, no host bookkeeping."""
+    import jax
+    import jax.numpy as jnp
     from ygz_tpu.frontend.framestep import (frame_step_batch, make_carry,
                                             pack_cache_np,
                                             build_pyramid_dispatch)
@@ -207,96 +225,63 @@ def bench_device_pipeline():
     return n_chunks * BATCH / dt
 
 
+# ----------------------------------------------------------------- supervisor
+def run_staged(log):
+    """Render -> warmup subprocess -> timed subprocess. Returns the result
+    dict (or raises)."""
+    t_r = time.perf_counter()
+    total = render_frames()
+    log(f"rendered {total} frames in {time.perf_counter() - t_r:.1f}s")
+
+    t_w = time.perf_counter()
+    subprocess.run(
+        [sys.executable, "-m", "ygz_tpu.warmup", "--width", str(W),
+         "--height", str(H), "--focal", str(F), "--batch", str(BATCH)],
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        capture_output=True, timeout=1800)
+    warmup_s = time.perf_counter() - t_w
+    log(f"warmup subprocess {warmup_s:.1f}s")
+
+    env = dict(os.environ, YGZ_BENCH_TIMED="1")
+    child = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    for line in child.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+            res["warmup_s"] = round(warmup_s, 1)
+            return res
+    raise RuntimeError(
+        f"timed child produced no RESULT (rc={child.returncode}):\n"
+        f"{child.stdout[-2000:]}\n{child.stderr[-2000:]}")
+
+
 def supervise():
-    """Run the real bench in a CHILD process with a stall watchdog.
+    """Run the staged bench with a stall watchdog: the tunneled device
+    occasionally black-holes a process's first request; if a phase hangs,
+    kill and relaunch (a new connection almost always succeeds)."""
+    def log(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
 
-    The tunneled device occasionally black-holes a process's first request
-    (the process blocks in poll() forever while fresh connections work
-    fine). The child prints progress lines early; if none appear within the
-    window, the supervisor kills it and relaunches — a new connection
-    almost always succeeds. Exits with the child's final JSON on stdout."""
-    import os
-    import subprocess
-    import sys as _s
-
+    last_err = None
     for attempt in range(3):
-        env = dict(os.environ, YGZ_BENCH_CHILD="1")
-        child = subprocess.Popen([_s.executable, "-u", __file__],
-                                 cwd=os.path.dirname(os.path.abspath(
-                                     __file__)) or ".",
-                                 stdout=subprocess.PIPE,
-                                 stderr=subprocess.STDOUT, env=env,
-                                 text=True)
-        import threading
-        lines = []
-        got_output = threading.Event()
-
-        def pump():
-            for line in child.stdout:
-                if "WARNING" not in line:
-                    got_output.set()
-                    lines.append(line)
-                    print(line, end="", flush=True)
-
-        th = threading.Thread(target=pump, daemon=True)
-        th.start()
-        # first real output (the render log line) lands within ~2 min on a
-        # healthy link; a wedged first request produces nothing at all
-        if not got_output.wait(timeout=420.0):
-            print(f"# bench child stalled before first output "
-                  f"(attempt {attempt + 1}); restarting",
-                  file=_s.stderr, flush=True)
-            child.kill()
-            child.wait()
-            continue
-        child.wait(timeout=2400)
-        th.join(timeout=10)
-        return child.returncode
-    print('{"metric": "tracking_fps_per_chip", "value": 0.0, '
-          '"unit": "frames/s", "vs_baseline": 0.0, '
-          '"error": "device link wedged on 3 attempts"}')
+        try:
+            res = run_staged(log)
+            print(json.dumps(res))
+            return 0
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            last_err = e
+            log(f"bench attempt {attempt + 1} failed: {e}")
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip", "value": 0.0,
+        "unit": "frames/s", "vs_baseline": 0.0,
+        "error": f"3 attempts failed: {last_err}"}))
     return 1
 
 
-def main():
-    rtt_start = measure_rtt()
-    res = bench_system(verbose=True)
-    pipeline_fps = bench_device_pipeline()
-    rtt_end = measure_rtt()
-    fps = res["throughput_fps"]
-    print(json.dumps({
-        "metric": "tracking_fps_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 50.0, 3),
-        "p50_frame_ms": round(res["p50_ms"], 2),
-        "p90_frame_ms": round(res["p90_ms"], 2),
-        "max_frame_ms": round(res["max_ms"], 2),
-        "warmup_s": round(res["warmup_s"], 1),
-        "mapping_drain_s": round(res["drain_s"], 1),
-        "device_pipeline_fps": round(pipeline_fps, 2),
-        "frames_ok": res["frames_ok"],
-        "n_keyframes": res["n_kf"],
-        "stage_ms": res["stage_ms"],
-        "dispatch_rtt_ms": round(rtt_start, 3),
-        "rtt_after_warmup_ms": round(res["rtt_before_ms"], 3),
-        "rtt_run_p50_ms": round(res["rtt_run_p50_ms"], 3),
-        "rtt_run_max_ms": round(res["rtt_run_max_ms"], 3),
-        "rtt_end_ms": round(rtt_end, 3),
-        # fresh server compiles in THIS process (must be ~0 for a valid
-        # steady-state measurement; compiles belong in the warmup
-        # subprocess + persistent cache)
-        "fresh_compiles": (None if _compile_events is None
-                           else _compile_events["cache_misses"]),
-        "compile_cache_hits": (None if _compile_events is None
-                               else _compile_events["cache_hits"]),
-    }))
-
-
 if __name__ == "__main__":
-    import os as _os
-    import sys as _sys
-    if _os.environ.get("YGZ_BENCH_CHILD"):
-        main()
+    if os.environ.get("YGZ_BENCH_TIMED"):
+        timed_child()
     else:
-        _sys.exit(supervise())
+        sys.exit(supervise())

@@ -7,7 +7,14 @@ gain/bias, pixel noise, motion blur, occluders — utils/synthetic.Nuisance),
 evaluated with the same Horn-alignment ATE RMSE the reference's
 evaluate_ate_euroc.py uses (eval/ate.py).
 
-Usage: JAX_PLATFORMS=cpu python tools/ate_report.py [--out ATE_r02.md]
+Round-4 protocol (VERDICT r3 #5): every mode runs with the BENCH defaults
+— async mapping worker ON and (mono) the 8-frame microbatched entry — and
+trajectories are exported through recovered_pose (relative-to-keyframe
+composition, so BA/loop corrections propagate, matching the reference's
+SaveTrajectoryTUM semantics). A 520-frame out-and-back mono sequence with a
+real loop closure firing is included.
+
+Usage: JAX_PLATFORMS=cpu python tools/ate_report.py [--out ATE_r04.md]
 """
 import argparse
 import os
@@ -38,30 +45,37 @@ def run_mode(mode, nuisance, n_frames=50):
     from ygz_tpu.utils.synthetic import SmoothScene, Nuisance
     from test_vo_e2e import make_trajectory
 
+    from ygz_tpu.frontend.tracker import TrackerConfig
+
     scene = SmoothScene(seed=11)
     nuis = Nuisance(seed=3) if nuisance else None
     poses = make_trajectory(n_frames)
     BASELINE_M = 0.2
+    # bench-default configuration: async mapping tail + 8-frame microbatch
+    cfg = TrackerConfig(async_mapping=True, track_batch=8)
 
     if mode == "mono":
         cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                                   scene.w, scene.h)
-        sys_ = System(cam, Sensor.MONOCULAR)
+        sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
+    elif mode == "mono-loop":
+        return run_mono_loop(nuisance)
     elif mode == "stereo":
         cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                                   scene.w, scene.h, bf=scene.f * BASELINE_M)
-        sys_ = System(cam, Sensor.STEREO)
+        sys_ = System(cam, Sensor.STEREO, config=cfg)
     elif mode == "rgbd":
         cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                                   scene.w, scene.h)
-        sys_ = System(cam, Sensor.RGBD)
+        sys_ = System(cam, Sensor.RGBD, config=cfg)
     elif mode == "mono-vi":
         from test_vio_e2e import pose_fn, synth_imu, FPS
         from ygz_tpu.frontend.tracker import TrackerConfig
         cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
                                   scene.w, scene.h)
         sys_ = System(cam, Sensor.MONO_VI,
-                      config=TrackerConfig(kf_max_gap=8),
+                      config=TrackerConfig(kf_max_gap=8,
+                                           async_mapping=True),
                       vins_init_kfs=6, vins_init_time=1.2)
         states = []
         for i in range(70):
@@ -73,11 +87,13 @@ def run_mode(mode, nuisance, n_frames=50):
             imu = synth_imu((i - 1) / FPS, t) if i > 0 else []
             state, _ = sys_.track_mono_vi(img, imu, timestamp=t)
             states.append(state)
+        sys_.shutdown()
         est, gt = [], []
         for i, rec in enumerate(sys_.trajectory):
             if rec.state != "OK":
                 continue
-            est.append(-rec.R.T @ rec.t)
+            Rr, tr_ = sys_.tracker.recovered_pose(rec)
+            est.append(-Rr.T @ tr_)
             R, tt = pose_fn(i / FPS)
             gt.append(-R.T @ tt)
         rmse, _ = ate_rmse(np.array(est), np.array(gt), with_scale=False)
@@ -85,12 +101,20 @@ def run_mode(mode, nuisance, n_frames=50):
         return rmse, ok, len(states), "6-DoF (metric after VINS init)"
 
     states = []
+    buf_img, buf_ts = [], []
     for i, (R, t) in enumerate(poses):
         img = scene.render(R, t)
         if nuis is not None:
             img = nuis.apply(img, i)
         if mode == "mono":
-            state, _ = sys_.track_monocular(img, timestamp=i * 0.05)
+            # microbatched entry — the bench default (VERDICT r3 #5)
+            buf_img.append(img)
+            buf_ts.append(i * 0.05)
+            if len(buf_img) == 8:
+                for st, _T in sys_.track_monocular_batch(buf_img, buf_ts):
+                    states.append(st)
+                buf_img, buf_ts = [], []
+            continue
         elif mode == "stereo":
             tr = t - np.array([BASELINE_M, 0.0, 0.0], np.float32)
             imgR = scene.render(R, tr)
@@ -101,28 +125,90 @@ def run_mode(mode, nuisance, n_frames=50):
             depth = scene.depth(R, t)
             state, _ = sys_.track_rgbd(img, depth, timestamp=i * 0.05)
         states.append(state)
+    for im, ts_ in zip(buf_img, buf_ts):
+        state, _ = sys_.track_monocular(im, timestamp=ts_)
+        states.append("OK" if str(state).endswith("OK") else str(state))
+    sys_.shutdown()
 
     from ygz_tpu.eval.ate import ate_rmse
     est, gt = [], []
     for rec, (R, t) in zip(sys_.trajectory, poses):
         if rec.state != "OK":
             continue
-        est.append(-rec.R.T @ rec.t)
+        Rr, tr_ = sys_.tracker.recovered_pose(rec)
+        est.append(-Rr.T @ tr_)
         gt.append(-R.T @ t)
     with_scale = mode == "mono"
     rmse, _ = ate_rmse(np.array(est), np.array(gt), with_scale=with_scale)
-    ok = sum(1 for s in states if s == "OK")
+    ok = sum(1 for s in states if str(s).endswith("OK"))
     align = "7-DoF (mono scale)" if with_scale else "6-DoF (metric)"
-    return rmse, ok, len(states), align
+    return rmse, ok, len(poses), align
+
+
+def run_mono_loop(nuisance, n_frames=520):
+    """520-frame out-and-back sweep that revisits its start: a real loop
+    closure must FIRE and the post-correction trajectory is evaluated
+    (VERDICT r3 #5)."""
+    import jax.numpy as jnp
+    from ygz_tpu.geometry import camera as cam_mod, lie
+    from ygz_tpu.system import System, Sensor
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    from ygz_tpu.eval.ate import ate_rmse
+    from ygz_tpu.utils.synthetic import SmoothScene, Nuisance
+
+    scene = SmoothScene(seed=11, tex_size=2400)
+    nuis = Nuisance(seed=3) if nuisance else None
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy,
+                              scene.w, scene.h)
+    cfg = TrackerConfig(async_mapping=True, track_batch=8)
+    sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
+
+    def pose(i):
+        half = n_frames / 2.0
+        s = i if i <= half else (n_frames - i)
+        yaw = 0.06 * np.sin(i * 0.12)
+        R = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.02 * np.sin(i * 0.07), yaw, 0.0], np.float32))))
+        c = np.array([0.03 * s, 0.12 * np.sin(i * 0.06), 0.0], np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    poses = [pose(i) for i in range(n_frames)]
+    buf_img, buf_ts = [], []
+    for i, (R, t) in enumerate(poses):
+        img = scene.render(R, t)
+        if nuis is not None:
+            img = nuis.apply(img, i)
+        buf_img.append(img)
+        buf_ts.append(i * 0.05)
+        if len(buf_img) == 8:
+            sys_.track_monocular_batch(buf_img, buf_ts)
+            buf_img, buf_ts = [], []
+    for im, ts_ in zip(buf_img, buf_ts):
+        sys_.track_monocular(im, timestamp=ts_)
+    sys_.shutdown()
+
+    est, gt = [], []
+    for rec, (R, t) in zip(sys_.trajectory, poses):
+        if rec.state != "OK":
+            continue
+        Rr, tr_ = sys_.tracker.recovered_pose(rec)
+        est.append(-Rr.T @ tr_)
+        gt.append(-R.T @ t)
+    rmse, _ = ate_rmse(np.array(est), np.array(gt), with_scale=True)
+    n_loops = sys_.tracker.n_loops_closed
+    align = f"7-DoF; loops closed: {n_loops}"
+    if n_loops < 1:
+        align += " (NO LOOP FIRED)"
+    return rmse, len(est), n_frames, align
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(ROOT, "ATE_r02.md"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "ATE_r04.md"))
     args = ap.parse_args()
 
     rows = []
-    for mode in ("mono", "stereo", "rgbd", "mono-vi"):
+    for mode in ("mono", "mono-loop", "stereo", "rgbd", "mono-vi"):
         for nuisance in (False, True):
             t0 = time.time()
             rmse, ok, n, align = run_mode(mode, nuisance)
@@ -137,8 +223,12 @@ def main():
                 "table gates the BASELINE ATE targets on rendered scenes "
                 "with photometric nuisances (tools/ate_report.py; Horn-"
                 "aligned ATE RMSE as in the reference's "
-                "evaluate_ate_euroc.py). Trajectory span ~1.5 world units "
-                "(~scene depth 5).\n\n")
+                "evaluate_ate_euroc.py). All modes run with the bench "
+                "defaults (async mapping + 8-frame microbatch for mono); "
+                "poses are exported post-correction via recovered_pose. "
+                "mono-loop = 520-frame out-and-back with a live loop "
+                "closure. Trajectory span ~1.5 world units (~scene depth "
+                "5); mono-loop spans ~8 units.\n\n")
         f.write("| mode | nuisances | ATE RMSE | frames OK | alignment |\n")
         f.write("|---|---|---|---|---|\n")
         for mode, nu, rmse, ok, n, align in rows:

@@ -1,0 +1,151 @@
+"""Long-sequence endurance run (VERDICT r3 #7).
+
+The reference runs full EuRoC sequences (~3,600 frames on MH01,
+/root/reference/Examples/Monocular/mono_euroc_vins.cc:48-196); nothing in
+rounds 1-3 demonstrated this engine surviving that scale. This drives a
+2,000+ frame synthetic out-and-back sweep at EuRoC cadence (20 fps) through
+the full system — microbatched tracking, async mapping tail, BoW indexing,
+loop closing — with enough keyframes to grow SlamMap past its initial
+max_kf=256 capacity, and gates:
+
+  * frames_ok fraction,
+  * 7-DoF ATE against the exact synthetic ground truth,
+  * keyframe count past the initial capacity (growth exercised),
+  * mapping-tail drain time (the tail must keep up with the KF rate).
+
+Writes LONGRUN_r{N}.json at the repo root.
+
+Usage:
+  JAX_PLATFORMS=cpu python tools/long_sequence.py --frames 2200   (~40 min)
+  python tools/long_sequence.py --frames 2200                     (TPU)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+
+
+def pose(i, n_total):
+    """Out-and-back lateral sweep with yaw wobble: the camera walks +x for
+    half the sequence and retraces, revisiting early views (loop-closure
+    opportunities) — EuRoC-like ~1 m/s at 20 fps against a ~5 m scene."""
+    import jax.numpy as jnp
+    from ygz_tpu.geometry import lie
+
+    half = n_total / 2.0
+    s = i if i <= half else (n_total - i)     # out ... and back
+    yaw = 0.10 * np.sin(i * 0.11)
+    pitch = 0.03 * np.sin(i * 0.07)
+    R = np.asarray(lie.so3_exp(jnp.asarray(
+        np.array([pitch, yaw, 0.0], np.float32))))
+    c = np.array([0.045 * s, 0.2 * np.sin(i * 0.05),
+                  0.25 * np.sin(i * 0.03)], np.float32)
+    return R, (-R @ c).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2200)
+    ap.add_argument("--out", default=os.path.join(ROOT, "LONGRUN_r04.json"))
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from ygz_tpu.utils.compile_cache import enable
+    enable()
+    from ygz_tpu.geometry import camera as cam_mod
+    from ygz_tpu.system import System, Sensor
+    from ygz_tpu.frontend.tracker import TrackerConfig
+    from ygz_tpu.utils.synthetic import SmoothScene
+    from ygz_tpu.eval.ate import ate_rmse
+
+    W, H, F = 752, 480, 458.0
+    n = args.frames
+    # texture sized so the whole out-and-back span stays on fresh surface:
+    # 0.045 * n/2 world units of travel + view width
+    tex = 4000
+    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=tex)
+    cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy, W, H)
+    # kf_max_gap=6 forces >=n/6/2 keyframes so the 256-KF capacity is
+    # exceeded well before the end (map growth under test)
+    cfg = TrackerConfig(async_mapping=True, track_batch=args.batch,
+                        kf_max_gap=6)
+    sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
+
+    t0 = time.perf_counter()
+    buf_img, buf_ts = [], []
+    gt_centres = []
+    t_render = 0.0
+    for i in range(n):
+        R, t = pose(i, n)
+        t1 = time.perf_counter()
+        img = np.clip(scene.render(R, t, backend="numpy"), 0,
+                      255).astype(np.uint8)
+        t_render += time.perf_counter() - t1
+        gt_centres.append(-R.T @ t)
+        buf_img.append(img)
+        buf_ts.append(i * 0.05)
+        if len(buf_img) == args.batch:
+            sys_.track_monocular_batch(buf_img, buf_ts)
+            buf_img, buf_ts = [], []
+        if i and i % 400 == 0:
+            st = sys_.tracker.stats()
+            print(f"frame {i}: kf={st['n_kf']} pt={st['n_pt']} "
+                  f"loops={st['n_loops_closed']} "
+                  f"{i / (time.perf_counter() - t0 - t_render):.1f} fps "
+                  f"(excl. render)", flush=True)
+    for im, ts in zip(buf_img, buf_ts):
+        sys_.track_monocular(im, ts)
+    track_s = time.perf_counter() - t0 - t_render
+    t2 = time.perf_counter()
+    sys_.shutdown()
+    drain_s = time.perf_counter() - t2
+
+    st = sys_.tracker.stats()
+    est, gt = [], []
+    for rec, c_gt in zip(sys_.trajectory, gt_centres):
+        if rec.state != "OK":
+            continue
+        R, t = sys_.tracker.recovered_pose(rec)
+        est.append(-R.T @ t)
+        gt.append(c_gt)
+    frames_ok = len(est)
+    from ygz_tpu.eval.ate import horn_align
+    scale, _, _ = horn_align(np.asarray(est), np.asarray(gt),
+                             with_scale=True)
+    rmse, _ = ate_rmse(np.asarray(est), np.asarray(gt), with_scale=True)
+    out = {
+        "frames": n,
+        "frames_ok": frames_ok,
+        "ok_fraction": round(frames_ok / n, 4),
+        "ate_rmse_7dof": round(float(rmse), 4),
+        "ate_scale": round(float(scale), 4),
+        "n_keyframes_final": st["n_kf"],
+        "map_grew_past_initial_capacity": bool(
+            sys_.tracker.map.max_kf > 256),
+        "max_kf_capacity_final": int(sys_.tracker.map.max_kf),
+        "n_points_final": st["n_pt"],
+        "n_loops_closed": st["n_loops_closed"],
+        "track_wall_s": round(track_s, 1),
+        "track_fps_excl_render": round(n / track_s, 2),
+        "mapping_drain_s": round(drain_s, 1),
+        "render_s": round(t_render, 1),
+        "ba_dropped": st["ba_dropped"],
+        "platform": __import__("jax").devices()[0].platform,
+    }
+    print(json.dumps(out, indent=1))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"-> {args.out}")
+    # gates (soft here; the test wrapper asserts)
+    assert frames_ok > 0.9 * n, f"only {frames_ok}/{n} frames OK"
+    assert rmse < 0.25, f"ATE {rmse}"
+
+
+if __name__ == "__main__":
+    main()

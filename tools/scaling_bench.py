@@ -70,11 +70,12 @@ def time_ba(mesh, prob, P, L, iters=10, reps=5):
 
     n_dev = mesh.devices.size
     (kf_R, kf_t, free, X0, ptv, obs_p, obs_l, obs_uv, obs_w, intr) = prob
-    op, ol, ouv, ow, _ = partition_obs_by_landmark(
+    op, ol, ouv, our, ow, _ = partition_obs_by_landmark(
         obs_p, obs_l, obs_uv, obs_w, L, n_dev)
     ba = make_distributed_ba(mesh, n_poses=P, n_points=L, iters=iters)
     args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
-                 for a in (kf_R, kf_t, free, X0, ptv, op, ol, ouv, ow, intr))
+                 for a in (kf_R, kf_t, free, X0, ptv, op, ol, ouv, our, ow,
+                           intr, np.float32(0.0)))
     res = ba(*args)
     jax.block_until_ready(res)  # compile + warmup
     t0 = time.perf_counter()

@@ -103,6 +103,8 @@ class LoopCloser:
             jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bk),
             jnp.asarray(smap.kf_feat_desc[cand]), jnp.asarray(bc),
             max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+            ang1=jnp.asarray(smap.kf_feat_angle[kf]),
+            ang2=jnp.asarray(smap.kf_feat_angle[cand]),
             groups1=gk, groups2=gc)
         idx = np.asarray(idx)
         ok = np.asarray(ok)

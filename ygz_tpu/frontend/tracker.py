@@ -1329,6 +1329,8 @@ class MonoTracker:
                 jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
                 jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
                 max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+                ang1=jnp.asarray(f["angle"]),
+                ang2=jnp.asarray(smap.kf_feat_angle[kf]),
                 groups1=jnp.asarray(f["groups"]), groups2=gk)
             idx = np.asarray(idx)
             okm = np.asarray(ok)

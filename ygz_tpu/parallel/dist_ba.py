@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..backend.optim import (_vmapped_rj, _huber_weight, solve_preconditioned,
-                             CHI2_MONO)
+from ..backend.optim import (_vmapped_rj3, _huber_weight,
+                             solve_preconditioned, CHI2_MONO, CHI2_STEREO)
 from ..geometry.lie import se3_exp, se3_mul
 
 
@@ -50,16 +50,21 @@ class DistBAResult(NamedTuple):
 
 
 def partition_obs_by_landmark(obs_p, obs_l, obs_uv, obs_w, n_points: int,
-                              n_dev: int, pad_to: int = None):
+                              n_dev: int, pad_to: int = None, obs_ur=None):
     """Partition the observation table by landmark owner (block sharding of
-    the L axis over n_dev devices). Returns (obs_p, obs_l, obs_uv, obs_w)
-    concatenated in device order with every shard padded to the same length
-    (padding rows carry w=0), plus the per-device shard length. obs_l stays
-    GLOBAL — the sharded kernel localizes with its own block offset."""
+    the L axis over n_dev devices). Returns (obs_p, obs_l, obs_uv, obs_ur,
+    obs_w) concatenated in device order with every shard padded to the same
+    length (padding rows carry w=0), plus the per-device shard length.
+    obs_l stays GLOBAL — the sharded kernel localizes with its own block
+    offset. obs_ur: optional [O] right-image u for stereo/RGB-D 3-row
+    edges (-1 = monocular; default all-mono)."""
     obs_p = np.asarray(obs_p)
     obs_l = np.asarray(obs_l)
     obs_uv = np.asarray(obs_uv)
     obs_w = np.asarray(obs_w)
+    if obs_ur is None:
+        obs_ur = np.full(len(obs_p), -1.0, np.float32)
+    obs_ur = np.asarray(obs_ur, np.float32)
     Lb = n_points // n_dev
     owner = np.clip(obs_l // max(Lb, 1), 0, n_dev - 1)
     shards = [np.nonzero(owner == d)[0] for d in range(n_dev)]
@@ -69,64 +74,77 @@ def partition_obs_by_landmark(obs_p, obs_l, obs_uv, obs_w, n_points: int,
     op = np.zeros(n_dev * O_shard, np.int32)
     ol = np.zeros(n_dev * O_shard, np.int32)
     ouv = np.zeros((n_dev * O_shard, 2), np.float32)
+    our = np.full(n_dev * O_shard, -1.0, np.float32)
     ow = np.zeros(n_dev * O_shard, np.float32)
     for d, s in enumerate(shards):
         sl = slice(d * O_shard, d * O_shard + len(s))
         op[sl] = obs_p[s]
         ol[sl] = obs_l[s]
         ouv[sl] = obs_uv[s]
+        our[sl] = obs_ur[s]
         ow[sl] = obs_w[s]
         # padding rows must index a LOCAL landmark of this device
         op[d * O_shard + len(s): (d + 1) * O_shard] = 0
         ol[d * O_shard + len(s): (d + 1) * O_shard] = d * Lb
-    return op, ol, ouv, ow, O_shard
+    return op, ol, ouv, our, ow, O_shard
 
 
 def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
                         iters: int = 10, damping: float = 1e-3,
-                        cg_iters: int = 48):
+                        cg_iters: int = 48, phases=None):
     """Build a jitted distributed-BA step over `mesh` (axis name "obs").
 
     Call-time inputs: poses replicated; points/pt_valid block-sharded on L
     (length divisible by the mesh size); observation arrays partitioned with
     `partition_obs_by_landmark` (leading axis divisible by mesh size, global
-    landmark indices).
+    landmark indices); obs_ur [O] right-image u (-1 = mono) making
+    stereo/RGB-D 3-row edges first-class (reference src/Optimizer.cc:1579);
+    bf = stereo baseline*fx (scalar, 0 for mono).
 
     cg_iters: inner PCG iterations for the reduced camera solve per GN step
     (block-Jacobi preconditioned; LM accept/reject guards inexact steps).
+
+    phases: GN iteration counts between chi2-outlier drops, mirroring the
+    reference LocalBundleAdjustment 5 iters -> drop chi2>5.991/7.815 or
+    negative depth -> 10 iters (src/Optimizer.cc:1990-2060). Default splits
+    `iters` as (min(5, ceil(iters/3)), rest).
     """
     axis = "obs"
     n_dev = mesh.devices.size
     Pn = n_poses
     Lb = n_points // n_dev
     assert Lb * n_dev == n_points, "n_points must divide by the mesh size"
+    if phases is None:
+        first = min(5, max(1, (iters + 2) // 3))
+        phases = (first, iters - first) if iters > first else (iters,)
 
-    def step(kf_R, kf_t, free, points, pt_valid, obs_p, obs_l, obs_uv, obs_w,
-             intr):
+    def step(kf_R, kf_t, free, points, pt_valid, obs_p, obs_l, obs_uv,
+             obs_ur, obs_w, intr, bf):
         # points/pt_valid: local [Lb] block; obs_l: global -> localize
         fx, fy, cx, cy = intr
         base = jax.lax.axis_index(axis) * Lb
         ol = obs_l - base
-        delta2 = CHI2_MONO
+        # per-edge chi2 gate: stereo 3-row edges use the 3-DoF threshold
+        delta2 = jnp.where(obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
         fm = free[:, None].astype(jnp.float32)
 
-        def chi2_of(kf_R, kf_t, pts):
+        def chi2_of(kf_R, kf_t, pts, inlier):
             # acceptance metric: NO depth masking — a point pushed behind a
             # camera keeps its (clamped-depth, enormous) residual, so the LM
             # gate cannot be gamed by collapsing the map to negative depths
             # (masked metrics scored that state as chi2=0 and accepted it)
-            r, _, _, _ = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], pts[ol],
-                                     obs_uv, fx, fy, cx, cy)
-            return jax.lax.psum(jnp.sum(jnp.sum(r * r, axis=1) * obs_w),
-                                axis)
+            r, _, _, _ = _vmapped_rj3(kf_R[obs_p], kf_t[obs_p], pts[ol],
+                                      obs_uv, obs_ur, bf, fx, fy, cx, cy)
+            return jax.lax.psum(
+                jnp.sum(jnp.sum(r * r, axis=1) * obs_w * inlier), axis)
 
         def body(carry, _):
-            kf_R, kf_t, pts, lam = carry
-            r, A, B, z = _vmapped_rj(kf_R[obs_p], kf_t[obs_p], pts[ol],
-                                     obs_uv, fx, fy, cx, cy)
+            kf_R, kf_t, pts, lam, inlier = carry
+            r, A, B, z = _vmapped_rj3(kf_R[obs_p], kf_t[obs_p], pts[ol],
+                                      obs_uv, obs_ur, bf, fx, fy, cx, cy)
             c2 = jnp.sum(r * r, axis=1) * obs_w
-            w = obs_w * (z > 0.0) * _huber_weight(c2, delta2)
-            chi_old = jax.lax.psum(jnp.sum(c2), axis)
+            w = obs_w * inlier * (z > 0.0) * _huber_weight(c2, delta2)
+            chi_old = jax.lax.psum(jnp.sum(c2 * inlier), axis)
 
             Aw = A * w[:, None, None]
             Bw = B * w[:, None, None]
@@ -195,7 +213,7 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
             newR, newt = jax.vmap(
                 lambda Rp, tp, d: se3_mul(*se3_exp(d), Rp, tp))(kf_R, kf_t, dp)
             newpts = pts + dl
-            chi_new = chi2_of(newR, newt, newpts)
+            chi_new = chi2_of(newR, newt, newpts, inlier)
             accept = chi_new < chi_old
             kf_R = jnp.where(accept, newR, kf_R)
             kf_t = jnp.where(accept, newt, kf_t)
@@ -204,19 +222,32 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
                            1e-6, 1e3)
             # report the ACCEPTED state's chi2 (a rejected candidate's value
             # would otherwise surface as total_chi2 of the whole solve)
-            return (kf_R, kf_t, pts, lam), jnp.where(accept, chi_new,
-                                                     chi_old)
+            return (kf_R, kf_t, pts, lam, inlier), jnp.where(accept, chi_new,
+                                                             chi_old)
 
-        (kf_R, kf_t, points, _), chis = jax.lax.scan(
-            body, (kf_R, kf_t, points, jnp.float32(damping)), None,
-            length=iters)
+        # phased GN with chi2-outlier drops in between (reference
+        # LocalBundleAdjustment erases chi2>th / negative-depth edges after
+        # the first 5 iterations, src/Optimizer.cc:1990-2060) — a local
+        # mask update, no communication
+        inlier = (obs_w > 0.0).astype(jnp.float32)
+        lam = jnp.float32(damping)
+        chis = None
+        for n_it in phases:
+            (kf_R, kf_t, points, lam, inlier), chis = jax.lax.scan(
+                body, (kf_R, kf_t, points, lam, inlier), None,
+                length=n_it)
+            r, _, _, z = _vmapped_rj3(kf_R[obs_p], kf_t[obs_p],
+                                      points[ol], obs_uv, obs_ur, bf,
+                                      fx, fy, cx, cy)
+            c2 = jnp.sum(r * r, axis=1) * obs_w
+            inlier = inlier * (c2 < delta2) * (z > 0.0)
         return DistBAResult(kf_R=kf_R, kf_t=kf_t, points=points,
                             total_chi2=chis[-1])
 
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(axis), P()),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=DistBAResult(kf_R=P(), kf_t=P(), points=P(axis),
                                total_chi2=P()),
         check_vma=False)

@@ -10,10 +10,14 @@ the local chips). Multi-host jobs call `init_distributed` once per process
 before any jax use, then build the global mesh with `global_ba_mesh` and
 hand its size to TrackerConfig.mesh_devices (or the examples' --devices).
 
-This machine exposes one chip, so multi-host execution cannot run here;
-the code path is exercised on a virtual multi-device mesh by the test
-suite + the driver's dryrun (__graft_entry__.dryrun_multichip), which is
-exactly the sharding program a real slice would compile.
+This machine exposes one chip, so multi-CHIP hardware execution cannot run
+here; the path is exercised three ways: a virtual multi-device mesh in the
+test suite, the driver's dryrun (__graft_entry__.dryrun_multichip), and a
+REAL two-process mesh — tests/test_multihost.py launches two worker
+processes (tools/multihost_worker.py) that initialize through
+`init_distributed`, build the global mesh here, and run the sharded BA
+with its psums crossing the process boundary (the DCN analog), matching
+the single-process result bit-for-tolerance.
 """
 from __future__ import annotations
 

@@ -15,13 +15,37 @@ PLANE_Z = 5.0
 TEX_SCALE = 60.0  # texture pixels per world unit
 
 
+def _blur_np(tex, ksize, sigma):
+    """Separable Gaussian blur in PURE numpy (edge-padded, matching
+    ops.image.gaussian_blur semantics). Texture synthesis must never touch
+    the accelerator: running one big program through the tunneled device
+    at process start degrades that process's dispatch RTT from ~0.1 ms to
+    ~30 ms for its lifetime (measured, tools/profile_framestep.py notes) —
+    which is exactly when the benchmark builds its scenes."""
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = tex
+    for axis in (1, 0):
+        p = np.pad(out, [(0, 0), (r, r)] if axis == 1 else [(r, r), (0, 0)],
+                   mode="edge")
+        acc = np.zeros_like(out)
+        for i, w in enumerate(k):
+            sl = (slice(None), slice(i, i + out.shape[1])) if axis == 1 \
+                else (slice(i, i + out.shape[0]), slice(None))
+            acc += w * p[sl]
+        out = acc
+    return out
+
+
 def make_texture(size=1600, seed=0, blur_sigma=2.0):
     rng = np.random.default_rng(seed)
     tex = rng.uniform(0, 255, (size, size)).astype(np.float32)
-    t = imops.gaussian_blur(jnp.asarray(tex), 9, blur_sigma)
+    t = _blur_np(tex, 9, blur_sigma)
     # boost contrast after blur
     t = (t - t.mean()) * 3.0 + 128.0
-    return np.clip(np.asarray(t), 0, 255).astype(np.float32)
+    return np.clip(t, 0, 255).astype(np.float32)
 
 
 def _bilinear_np(img, uv):
@@ -174,7 +198,7 @@ class Nuisance:
         b = rng.uniform(-self.bias, self.bias)
         out = img * g + b
         if rng.random() < self.blur_p:
-            out = np.array(imops.gaussian_blur(jnp.asarray(out), 5, 1.0))
+            out = _blur_np(out, 5, 1.0)  # host-side (see _blur_np note)
         for _ in range(self.n_occluders):
             s = int(rng.uniform(0.5, 1.5) * self.occ_size)
             x0 = int(rng.uniform(0, max(w - s, 1)))
