@@ -106,6 +106,26 @@ def timed_child():
         _monitoring.register_event_listener(_count)
     except Exception:
         events = None
+    # name the EXPENSIVE fresh compiles (the ones that poison the
+    # connection) — tiny eager-op compiles are noise
+    big_compiles = []
+    import logging
+    import re as _re
+
+    class _BigCompileLog(logging.Handler):
+        def emit(self, rec):
+            m = _re.match(r"Finished XLA compilation of (\S+) in "
+                          r"([0-9.]+) sec", rec.getMessage())
+            if m and float(m.group(2)) > 1.0:
+                big_compiles.append(f"{m.group(1)}:{float(m.group(2)):.0f}s")
+
+    jax.config.update("jax_log_compiles", True)
+    _h = _BigCompileLog()
+    _h.setLevel(logging.DEBUG)
+    logging.getLogger("jax._src.dispatch").addHandler(_h)
+    logging.getLogger("jax._src.dispatch").setLevel(logging.DEBUG)
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(_h)
+    logging.getLogger("jax._src.interpreters.pxla").setLevel(logging.DEBUG)
 
     probe = jax.jit(lambda x: x + 1.0)
     px = jnp.zeros(())
@@ -124,7 +144,11 @@ def timed_child():
     frames = np.load(FRAMES_NPY)
     ts = [i * 0.05 for i in range(len(frames))]
     rtt0 = rtt()
-    cam = cam_mod.Camera.make(F, F, W / 2.0, H / 2.0, W, H)
+    # intrinsics MUST match ygz_tpu.warmup's camera exactly (w/2-0.5):
+    # they are jit STATICS — a different cx/cy is a different program for
+    # every intrinsics-carrying computation, i.e. a full cache-miss storm
+    # in this (fresh-connection) process
+    cam = cam_mod.Camera.make(F, F, W / 2.0 - 0.5, H / 2.0 - 0.5, W, H)
     cfg = TrackerConfig(async_mapping=True, track_batch=BATCH)
     sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
     for i in range(0, WARM_FRAMES, BATCH):
@@ -178,6 +202,7 @@ def timed_child():
                            else events["cache_misses"]),
         "compile_cache_hits": (None if events is None
                                else events["cache_hits"]),
+        "big_compiles": big_compiles[:20],
     }
     print("RESULT " + json.dumps(out), flush=True)
 
@@ -192,7 +217,7 @@ def device_pipeline_fps():
                                             pack_cache_np,
                                             build_pyramid_dispatch)
 
-    intr = (F, F, W / 2.0, H / 2.0)
+    intr = (F, F, W / 2.0 - 0.5, H / 2.0 - 0.5)   # = warmup statics
     rng = np.random.default_rng(0)
     cap = 512
     imgs = np.stack([rng.uniform(0, 255, (H, W)).astype(np.uint8)

@@ -15,7 +15,7 @@ landmark-block sharding the per-iteration collective volume is a psum of
 real ICI the per-observation/per-landmark compute fraction bounds the
 achievable efficiency.
 
-Usage: python tools/scaling_bench.py [--out SCALING_r02.json]
+Usage: python tools/scaling_bench.py [--out SCALING_r04.json]
 """
 import argparse
 import json
@@ -87,7 +87,7 @@ def time_ba(mesh, prob, P, L, iters=10, reps=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(ROOT, "SCALING_r02.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "SCALING_r04.json"))
     ap.add_argument("--poses", type=int, default=64)
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--obs", type=int, default=65536)

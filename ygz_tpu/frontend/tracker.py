@@ -484,7 +484,8 @@ class MonoTracker:
 
         ok, R, t, _ = self._consume_out(out, ids, ts,
                                         lambda: self._unstack(
-                                            self._carry.pyr))
+                                            self._carry.pyr),
+                                        snap_xyz=snap[5])
         return ok, R, t
 
     # ----------------------------------------------------------- batch track
@@ -542,7 +543,8 @@ class MonoTracker:
                     return self._unstack(pyrs[b])
 
                 ok, R, t, clean = self._consume_out(
-                    out_b, ids, timestamps[i + b], pyr_b, batch_mode=True)
+                    out_b, ids, timestamps[i + b], pyr_b, batch_mode=True,
+                    snap_xyz=snap[5])
                 self._log(timestamps[i + b], R, t)
                 results.append((self.state, R, t))
                 consumed += 1
@@ -553,7 +555,8 @@ class MonoTracker:
             i += consumed
         return results
 
-    def _consume_out(self, out, ids, ts, pyr_fn, batch_mode: bool = False):
+    def _consume_out(self, out, ids, ts, pyr_fn, batch_mode: bool = False,
+                     snap_xyz=None):
         """Host bookkeeping for one tracked frame's readback. `pyr_fn` lazily
         provides the frame's pyramid (only evaluated on keyframe/fallback
         frames). In batch mode the device carry is NOT rewritten on clean
@@ -587,6 +590,9 @@ class MonoTracker:
         np.add.at(smap.pt_found, ids[tracked], 1)
 
         t_ids, t_uv, t_lvl = ids[tracked], uv[tracked], lvl[tracked]
+        # world positions of the tracked points AS THE SNAPSHOT SAW THEM
+        # (the same geometry the direct tracker aligned against)
+        t_xyz = snap_xyz[:n][tracked] if snap_xyz is not None else None
         R_cur, t_cur = out.R, out.t
 
         recovered = False  # host changed the pose -> carry must be rewritten
@@ -600,6 +606,7 @@ class MonoTracker:
             fb = self._feature_fallback(pyr, R_pred, t_pred)
             if fb is not None:
                 R_cur, t_cur, t_ids, t_uv, t_lvl = fb
+                t_xyz = None   # fallback matches are not snapshot-aligned
                 n_inliers = len(t_ids)
                 recovered = True
                 self.debug["n_inliers_feat"] = n_inliers
@@ -622,7 +629,8 @@ class MonoTracker:
                 return False, last_R, last_t, False
         # sensor-fusion hook (mono-VI: NavState optimization with the
         # tracked observations + preintegration factor)
-        fused = self._fuse_pose(R_cur, t_cur, t_ids, t_uv, t_lvl)
+        fused = self._fuse_pose(R_cur, t_cur, t_ids, t_uv, t_lvl,
+                                xyz=t_xyz)
         if fused is not None:
             R_cur, t_cur = fused
             recovered = True
@@ -816,10 +824,18 @@ class MonoTracker:
             return a[ids][:cap]
 
         pvalid = g(smap.pt_valid)
+        xyz = g(smap.pt_xyz)
         # ONE packed upload buffer (framestep.CACHE_COLS layout)
         self._cache_dev = jnp.asarray(pack_cache_np(
-            g(smap.pt_xyz), pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
+            xyz, pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
             g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t)))
+        # host copy of the snapshot's point positions: consumers that need
+        # world coordinates for the TRACKED points (the VI filter's
+        # reprojection factors) read THIS, not the live map — the async
+        # worker rewrites smap.pt_xyz under its own lock, and an unlocked
+        # mid-commit read would hand the filter a half-updated world that
+        # the marginal prior then propagates forward (r4 async-VI fix)
+        self._cache_xyz_host = xyz
         self._publish_snapshot()
 
     def _publish_snapshot(self):
@@ -833,7 +849,8 @@ class MonoTracker:
         else:
             ref, Rk, tk = -1, np.eye(3, dtype=np.float32), \
                 np.zeros(3, np.float32)
-        self._snap = (self._cache, self._cache_dev, ref, Rk, tk)
+        self._snap = (self._cache, self._cache_dev, ref, Rk, tk,
+                      getattr(self, "_cache_xyz_host", None))
 
     # ------------------------------------------------ feature-method fallbacks
     def _match_points_to_feats(self, pt_ids, R, t, f, radius, ratio=0.9,
@@ -1229,9 +1246,11 @@ class MonoTracker:
         Return (R_pred, t_pred) or None to use the velocity model."""
         return None
 
-    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
+    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl, xyz=None):
         """Optional sensor-fusion refinement of the visually tracked pose.
-        Return (R, t) or None to keep the visual pose."""
+        `xyz`: snapshot-consistent world positions for `ids` (None = read
+        the live map under the lock). Return (R, t) or None to keep the
+        visual pose."""
         return None
 
     def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:

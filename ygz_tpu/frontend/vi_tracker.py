@@ -176,22 +176,29 @@ class MonoViTracker(MonoTracker):
                            np.asarray(ns2.R))
         return self._body_to_cam(np.asarray(ns2.R), np.asarray(ns2.P))
 
-    def _gather_obs(self, ids, uv, lvl):
-        """Pad tracked observations to the fixed cap for the optimizers."""
-        smap = self.map
+    def _gather_obs(self, ids, uv, lvl, xyz=None):
+        """Pad tracked observations to the fixed cap for the optimizers.
+        `xyz`: snapshot-consistent positions (tracker._publish_snapshot);
+        None falls back to a LOCKED live-map read — an unlocked read races
+        the async worker's BA/rescale commits and feeds the filter a
+        half-updated world (the r3 async mono-VI scale flake)."""
         cap = self.cfg.max_track
         n = min(len(ids), cap)
         X = np.zeros((cap, 3), np.float32)
         uvp = np.zeros((cap, 2), np.float32)
         is2 = np.ones(cap, np.float32)
         val = np.zeros(cap, bool)
-        X[:n] = smap.pt_xyz[ids[:n]]
+        if xyz is not None:
+            X[:n] = xyz[:n]
+        else:
+            with self._map_lock:
+                X[:n] = self.map.pt_xyz[ids[:n]]
         uvp[:n] = uv[:n]
         is2[:n] = 0.25 ** lvl[:n]
         val[:n] = True
         return X, uvp, is2, val
 
-    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl):
+    def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl, xyz=None):
         if not self.vio_ready or self._ns is None:
             return None
         P0, V0, R0 = self._ns
@@ -199,7 +206,7 @@ class MonoViTracker(MonoTracker):
         # velocity init: propagate or finite-difference
         Vc = getattr(self, "_pred_body", (None, V0, None))[1]
 
-        X, uvp, is2, val = self._gather_obs(ids, uv, lvl)
+        X, uvp, is2, val = self._gather_obs(ids, uv, lvl, xyz=xyz)
         cur0 = (jnp.asarray(P_wb.astype(np.float32)),
                 jnp.asarray(np.asarray(Vc, np.float32)),
                 jnp.asarray(R_wb.astype(np.float32)),

@@ -36,6 +36,13 @@ class VinsInitResult(NamedTuple):
     gravity_w: np.ndarray   # [3] in the (unscaled) vision world frame
     bg: np.ndarray          # [3]
     ba: np.ndarray          # [3]
+    # quality diagnostics (init-acceptance gating, r4): the step-2 linear
+    # scale and the step-3 system's normalized residual — a large s2/s3
+    # disagreement or residual means the excitation was too weak for a
+    # trustworthy scale (the reference instead waits 15 s of data,
+    # src/IMU/configparam.cpp:15)
+    scale_linear: float = 0.0
+    res_norm: float = 0.0
 
 
 def solve_gyro_bias(R_wb: Sequence[np.ndarray], preints: Sequence[PreintState],
@@ -166,7 +173,9 @@ def refine_with_accel_bias(c_w, q_w, R_wb, preints, g0):
     dth = np.array([x[1], x[2], 0.0])
     ba = x[3:6]
     g = R_g @ np.asarray(so3_exp(jnp.asarray(dth, jnp.float32))) @ gI
-    return s, g, ba
+    res = float(np.linalg.norm(A @ x - B)
+                / max(np.linalg.norm(B), 1e-9))
+    return s, g, ba, res
 
 
 def hat_np(w):
@@ -199,8 +208,9 @@ def vins_initialize(c_w, R_wc, preints_bg0, recompute_preint, Tbc,
     s2, g2 = solve_scale_gravity(np.asarray(c_w), q_w, R_wb, preints)
     if not np.isfinite(s2) or s2 < min_scale:
         return VinsInitResult(False, 0.0, np.zeros(3), bg, np.zeros(3))
-    s3, g3, ba = refine_with_accel_bias(np.asarray(c_w), q_w, R_wb, preints,
-                                        g2)
+    s3, g3, ba, res = refine_with_accel_bias(np.asarray(c_w), q_w, R_wb,
+                                             preints, g2)
     ok = np.isfinite(s3) and s3 > min_scale and np.all(np.isfinite(g3))
     return VinsInitResult(bool(ok), float(s3), g3.astype(np.float32),
-                          bg.astype(np.float32), ba.astype(np.float32))
+                          bg.astype(np.float32), ba.astype(np.float32),
+                          scale_linear=float(s2), res_norm=res)
