@@ -178,3 +178,39 @@ def test_epnp_minimal_4pt_planar_and_general():
             (np.trace(np.asarray(res.R) @ R.T) - 1) / 2, -1, 1)))
         assert ang < 0.5, (planar, ang)
         assert np.linalg.norm(np.asarray(res.t) - t) < 0.05, planar
+
+
+def test_vocab_tree_lookup_consistency():
+    """Hierarchical greedy lookup (r4): training descriptors must land in
+    sensible leaves — identical descriptors map to identical words, and a
+    descriptor equal to a leaf center reaches a word at Hamming distance
+    no worse than the tree's greedy bound."""
+    from ygz_tpu.backend.bow import (train_vocabulary, assign_words_tree,
+                                    save_vocabulary, load_vocabulary)
+    rng = np.random.default_rng(5)
+    M = 4000
+    desc = rng.integers(0, 2, (M, 256)).astype(np.uint8)
+    voc = train_vocabulary(desc, branching=6, depth=3)
+    assert voc.tree_centers is not None and len(voc.tree_centers) > 0
+    wid = assign_words_tree(desc, np.ones(M, bool), voc)
+    assert (wid >= 0).all() and (wid < voc.n_words).all()
+    # determinism + duplicate consistency
+    wid2 = assign_words_tree(desc[:100], np.ones(100, bool), voc)
+    np.testing.assert_array_equal(wid[:100], wid2)
+    dup = np.concatenate([desc[:5], desc[:5]])
+    wd = assign_words_tree(dup, np.ones(10, bool), voc)
+    np.testing.assert_array_equal(wd[:5], wd[5:])
+    # invalid rows -> -1
+    v = np.ones(M, bool); v[::7] = False
+    wv = assign_words_tree(desc, v, voc)
+    assert (wv[~v] == -1).all() and (wv[v] >= 0).all()
+    # save/load round-trips the tree
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        pth = _os.path.join(td, "v.npz")
+        save_vocabulary(voc, pth)
+        v2 = load_vocabulary(pth)
+        assert v2.tree_centers is not None
+        np.testing.assert_array_equal(
+            assign_words_tree(desc[:200], np.ones(200, bool), v2),
+            wid[:200])

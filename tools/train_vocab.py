@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--scenes", type=int, default=48)
     ap.add_argument("--views", type=int, default=12)
+    ap.add_argument("--desc-cache", default="/tmp/ygz_vocab_corpus.npz",
+                    help="descriptor-corpus cache (collection is ~30 min; "
+                         "training retries reuse it)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,16 @@ def main():
 
     extractor = OrbExtractor(n_features=1024, n_levels=4, scale_factor=2.0,
                              fast_th=20.0, fast_th_min=7.0, mode="grid")
+
+    cache_key = (args.scenes, args.views)
+    if args.desc_cache and os.path.exists(args.desc_cache):
+        z = np.load(args.desc_cache)
+        if tuple(z["key"]) == cache_key:
+            print(f"descriptor corpus from cache: {len(z['desc'])}",
+                  flush=True)
+            desc = np.unpackbits(z["desc"], axis=1)
+            _train(args, desc, z["doc_ids"])
+            return
 
     descs, docs = [], []
     doc = 0
@@ -78,14 +91,27 @@ def main():
 
     desc = np.concatenate(descs)
     doc_ids = np.concatenate(docs)
+    if args.desc_cache:
+        np.savez_compressed(args.desc_cache, key=np.array(cache_key),
+                            desc=np.packbits(desc, axis=1),
+                            doc_ids=doc_ids)
+    _train(args, desc, doc_ids)
+
+
+def _train(args, desc, doc_ids):
+    import time
+    from ygz_tpu.backend.bow import train_vocabulary, save_vocabulary
+
+    t0 = time.time()
     print(f"training k={args.branching} L={args.depth} on {len(desc)} "
-          f"descriptors from {doc} views ...", flush=True)
+          f"descriptors ...", flush=True)
     vocab = train_vocabulary(desc, branching=args.branching,
                              depth=args.depth, doc_ids=doc_ids)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     save_vocabulary(vocab, args.out)
     print(f"saved {vocab.n_words} words -> {args.out} "
-          f"({os.path.getsize(args.out) / 1e6:.2f} MB)")
+          f"({os.path.getsize(args.out) / 1e6:.2f} MB) "
+          f"in {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":

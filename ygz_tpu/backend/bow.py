@@ -9,11 +9,12 @@ Design differences, deliberate:
   * The vocabulary is trained in-system on the engine's own BRIEF pattern
     (the reference ships a 1M-word offline ORBvoc binary, absent from the
     mirror); hierarchical k-medians (bit-majority medians) builds the tree.
-  * Lookup is FLAT on device: descriptor-to-word assignment is one
-    [N,256]x[256,W] ±1 matmul + argmin over all leaf words — on the MXU this
-    beats walking a 6-level tree, so the hierarchy is kept only for training
-    and for the FeatureVector grouping (ancestor at `levelsup`,
-    SearchByBoW's candidate-gating semantics).
+  * Lookup walks the hierarchy (greedy per-level Hamming argmin, DBoW2
+    semantics) in packed-bit numpy: depth x k comparisons per descriptor,
+    so cost is independent of the vocabulary size — required at the
+    reference's 10^5..10^6-word scale. It runs at keyframe rate only. A
+    flat chunked device argmin (WordLookup) remains for legacy
+    vocabularies saved without the tree.
   * BoW vectors are dense [W] tf-idf, L1-normalized; similarity is the DBoW2
     L1 score s(v,w) = 1 - 0.5*|v-w|_1, computed for a query against ALL
     keyframes as one broadcasted reduction.
@@ -36,10 +37,38 @@ class Vocabulary(NamedTuple):
     idf: np.ndarray        # [W] float32
     branching: int
     depth: int
+    # hierarchical lookup tree (DBoW2 semantics: greedy per-level argmin,
+    # depth x k comparisons per descriptor instead of W — required at the
+    # reference's 10^5..10^6-word scale where a flat argmin is O(N*W)).
+    # tree_centers [I,k,32]: packed child centers of internal node i;
+    # tree_child [I,k]: >=0 internal child index, <0 encodes leaf word
+    # -(w+1). tree_root: root code. None = legacy flat-lookup vocabulary.
+    tree_centers: Optional[np.ndarray] = None
+    tree_child: Optional[np.ndarray] = None
+    tree_root: int = 0
 
     @property
     def n_words(self):
         return len(self.words)
+
+
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                          axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _hamming_np(packed_a, packed_b, block=131072):
+    """[M,32] x [K,32] packed-bit Hamming distances in pure numpy — the
+    tree build calls k-medians on thousands of node sizes; a jitted
+    distance kernel would compile per distinct shape (measured: the L=5
+    train ran out of a 2-hour budget on exactly that). Row-blocked to
+    bound the [block,K,32] intermediate."""
+    M = len(packed_a)
+    out = np.empty((M, len(packed_b)), np.int32)
+    for i in range(0, M, block):
+        x = np.bitwise_xor(packed_a[i: i + block, None, :],
+                           packed_b[None, :, :])
+        out[i: i + block] = _POPCOUNT[x].sum(axis=2, dtype=np.int32)
+    return out
 
 
 def _kmedians(desc, k, rng, iters=8):
@@ -49,8 +78,9 @@ def _kmedians(desc, k, rng, iters=8):
         return desc.copy(), np.arange(M) % max(len(desc), 1)
     centers = desc[rng.choice(M, k, replace=False)].astype(np.uint8)
     assign = np.zeros(M, np.int64)
+    packed = np.packbits(desc, axis=1)
     for _ in range(iters):
-        d = np.asarray(hamming_matrix(jnp.asarray(desc), jnp.asarray(centers)))
+        d = _hamming_np(packed, np.packbits(centers, axis=1))
         assign = d.argmin(axis=1)
         for c in range(k):
             sel = desc[assign == c]
@@ -69,6 +99,8 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     desc = np.asarray(desc, np.uint8)
     leaves = []
     group_of_leaf = []
+    tree_centers = []   # [k,32] packed child centers per internal node
+    tree_child = []     # [k] child codes per internal node
 
     # FeatureVector grouping depth: ancestor node at depth 2 (<=k^2 groups)
     # — the analog of DBoW2's transform(..., levelsup=4) for the k=10 L=6
@@ -77,35 +109,46 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     # src/Frame.cc:498)
     gd = min(2, depth - 1) if depth > 1 else 0
 
+    def add_leaf(bits, group):
+        leaves.append(bits)
+        group_of_leaf.append(group)
+        return -(len(leaves) - 1) - 1   # leaf code
+
     def split(idx, level, group):
+        """Returns the node's code: >=0 internal index, <0 leaf."""
         if level == depth or len(idx) <= branching:
-            leaves.append((desc[idx].mean(axis=0) > 0.5).astype(np.uint8)
-                          if len(idx) else np.zeros(256, np.uint8))
-            group_of_leaf.append(group)
-            return
+            bits = ((desc[idx].mean(axis=0) > 0.5).astype(np.uint8)
+                    if len(idx) else np.zeros(256, np.uint8))
+            return add_leaf(bits, group)
         centers, assign = _kmedians(desc[idx], branching, rng)
+        my = len(tree_centers)
+        tree_centers.append(np.packbits(centers, axis=1))
+        tree_child.append(np.zeros(branching, np.int32))
         for c in range(len(centers)):
             sub = idx[assign == c]
             g = group * branching + c if level < gd else group
             if len(sub) == 0:
-                leaves.append(centers[c])
-                group_of_leaf.append(g)
+                tree_child[my][c] = add_leaf(centers[c], g)
             else:
-                split(sub, level + 1, g)
+                tree_child[my][c] = split(sub, level + 1, g)
+        return my
 
-    split(np.arange(len(desc)), 0, 0)
+    tree_root = split(np.arange(len(desc)), 0, 0)
     words = np.stack(leaves)
     groups = np.array(group_of_leaf, np.int32)
+    t_cent = (np.stack(tree_centers) if tree_centers
+              else np.zeros((0, branching, 32), np.uint8))
+    t_child = (np.stack(tree_child) if tree_child
+               else np.zeros((0, branching), np.int32))
 
-    # idf from training assignment (doubly chunked: both M and W exceed
-    # what a materialized [M,W] distance matrix allows at 10^5 words)
+    # idf from training assignment through the TREE (numpy; the flat
+    # argmin is O(M*W) — unusable at 10^5 words x 10^6 descriptors)
     W = len(words)
-    wa = np.empty(len(desc), np.int64)
-    B = 2048
-    lookup = WordLookup(words)
-    for i in range(0, len(desc), B):
-        chunk = desc[i: i + B]
-        wa[i: i + B] = lookup.assign(chunk, np.ones(len(chunk), bool))
+    pre = Vocabulary(words=words, groups=groups,
+                     idf=np.ones(W, np.float32), branching=branching,
+                     depth=depth, tree_centers=t_cent, tree_child=t_child,
+                     tree_root=int(tree_root))
+    wa = assign_words_tree(desc, np.ones(len(desc), bool), pre)
     if doc_ids is None:
         doc_ids = np.zeros(len(desc), np.int64)
     n_docs = max(int(doc_ids.max()) + 1, 1)
@@ -113,12 +156,44 @@ def train_vocabulary(desc, branching: int = 10, depth: int = 3,
     seen[doc_ids, wa] = True
     df = seen.sum(axis=0)
     idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32) + 1.0
-    return Vocabulary(words=words, groups=groups, idf=idf,
-                      branching=branching, depth=depth)
+    return pre._replace(idf=idf)
+
+
+def assign_words_tree(desc01, valid, vocab: "Vocabulary"):
+    """Descriptor -> word by greedy tree descent (DBoW2
+    TemplatedVocabulary::transform semantics, Thirdparty/DBoW2/DBoW2/
+    TemplatedVocabulary.h:423-438): depth levels of k-way Hamming argmin.
+    Pure numpy (packed-bit popcount) — fast on host at any W, and only
+    runs at keyframe rate."""
+    desc01 = np.asarray(desc01, np.uint8)
+    valid = np.asarray(valid, bool)
+    packed = np.packbits(desc01, axis=1)
+    N = len(packed)
+    code = np.full(N, vocab.tree_root, np.int64)
+    for _ in range(vocab.depth):
+        active = np.nonzero(code >= 0)[0]
+        if len(active) == 0:
+            break
+        nodes = code[active].astype(np.int64)
+        cent = vocab.tree_centers[nodes]               # [n,k,32]
+        x = np.bitwise_xor(packed[active][:, None, :], cent)
+        d = _POPCOUNT[x].sum(axis=2, dtype=np.int32)   # [n,k]
+        c = d.argmin(axis=1)
+        code[active] = vocab.tree_child[nodes, c]
+    wid = np.where(code < 0, -code - 1, 0)
+    return np.where(valid, wid, -1).astype(np.int64)
 
 
 # ------------------------------------------------------------- persistence
 def save_vocabulary(vocab: Vocabulary, path: str):
+    if vocab.tree_centers is not None and len(vocab.tree_centers):
+        np.savez_compressed(
+            path, words_packed=np.packbits(vocab.words, axis=1),
+            groups=vocab.groups, idf=vocab.idf,
+            meta=np.array([vocab.branching, vocab.depth], np.int64),
+            tree_centers=vocab.tree_centers, tree_child=vocab.tree_child,
+            tree_root=np.int64(vocab.tree_root))
+        return
     """Persist a trained vocabulary (bits packed: a 10^4-word tree is
     ~0.4 MB — the reference ships the 1M-word ORBvoc.bin the same way,
     src/System.cc:186-191)."""
@@ -131,9 +206,14 @@ def save_vocabulary(vocab: Vocabulary, path: str):
 def load_vocabulary(path: str) -> Vocabulary:
     z = np.load(path)
     words = np.unpackbits(z["words_packed"], axis=1)[:, :256].astype(np.uint8)
+    tree = {}
+    if "tree_centers" in z:
+        tree = dict(tree_centers=np.array(z["tree_centers"]),
+                    tree_child=np.array(z["tree_child"]),
+                    tree_root=int(z["tree_root"]))
     return Vocabulary(words=words, groups=np.array(z["groups"]),
                       idf=np.array(z["idf"]), branching=int(z["meta"][0]),
-                      depth=int(z["meta"][1]))
+                      depth=int(z["meta"][1]), **tree)
 
 
 def default_vocabulary_path() -> str:
@@ -214,7 +294,11 @@ class BowIndex:
     def __init__(self, vocab: Vocabulary, max_kf: int = 256,
                  max_feat: int = 1024):
         self.vocab = vocab
-        self._lookup = WordLookup(vocab.words)
+        # tree descent when the vocabulary carries its hierarchy (cost
+        # independent of W); flat device argmin only for legacy files
+        self._lookup = (None if (vocab.tree_centers is not None
+                                 and len(vocab.tree_centers))
+                        else WordLookup(vocab.words))
         self.F = max_feat
         self.kf_wid = np.full((max_kf, max_feat), -1, np.int32)
         self.kf_w = np.zeros((max_kf, max_feat), np.float32)
@@ -227,7 +311,11 @@ class BowIndex:
         """desc [N,256] 0/1 -> (word_ids [N], bow) where bow is the sparse
         L1-normalized tf-idf pair (uids [<=N], weights). `bow` is treated as
         opaque by callers (pass to add_keyframe/scores/candidates)."""
-        wid = self._lookup.assign(np.asarray(desc_bits), np.asarray(valid))
+        if self._lookup is None:
+            wid = assign_words_tree(desc_bits, valid, self.vocab)
+        else:
+            wid = self._lookup.assign(np.asarray(desc_bits),
+                                      np.asarray(valid))
         ids = wid[wid >= 0]
         uids, counts = np.unique(ids, return_counts=True)
         w = counts.astype(np.float32) * self.vocab.idf[uids]

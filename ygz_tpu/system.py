@@ -200,6 +200,10 @@ class System:
                      "bow_kf_w": tr.bow_index.kf_w,
                      "bow_kf_feat_word": tr.bow_index.kf_feat_word,
                      "bow_kf_valid": tr.bow_index.kf_valid}
+            if v.tree_centers is not None and len(v.tree_centers):
+                extra.update(bow_tree_centers=v.tree_centers,
+                             bow_tree_child=v.tree_child,
+                             bow_tree_root=np.int64(v.tree_root))
         with tr._map_lock:
             tr.map.save(path, extra=extra)
 
@@ -228,10 +232,15 @@ class System:
                 "(found dense bow_kf_vec/bow_kf_words keys); re-save the "
                 "map with this version to upgrade")
         if "bow_words" in z:
+            tree = {}
+            if "bow_tree_centers" in z:
+                tree = dict(tree_centers=np.array(z["bow_tree_centers"]),
+                            tree_child=np.array(z["bow_tree_child"]),
+                            tree_root=int(z["bow_tree_root"]))
             vocab = Vocabulary(words=z["bow_words"], groups=z["bow_groups"],
                                idf=z["bow_idf"],
                                branching=int(z["bow_meta"][0]),
-                               depth=int(z["bow_meta"][1]))
+                               depth=int(z["bow_meta"][1]), **tree)
             tr.bow_index = BowIndex(vocab, max_kf=len(z["bow_kf_valid"]))
             tr.bow_index.kf_wid = np.array(z["bow_kf_wid"])
             tr.bow_index.kf_w = np.array(z["bow_kf_w"])

@@ -57,22 +57,29 @@ def warmup_tracking(cam, cfg=None, n_frames: int = 26,
                       255).astype(np.uint8)
               for i in range(n_frames)]
     ts = [i * 0.05 for i in range(n_frames)]
+    t_render = time.perf_counter() - t0
     B = max(1, scratch_cfg.track_batch)
     # per-frame path first (bootstrap + fused single-frame program) ...
+    t1 = time.perf_counter()
     k = min(max(6, B), n_frames)
     for i in range(k):
         sys_.track_monocular(frames[i], ts[i])
+    t_single = time.perf_counter() - t1
     # ... then the microbatched program
+    t1 = time.perf_counter()
     if B > 1:
         i = k
         while i + B <= n_frames:
             sys_.track_monocular_batch(frames[i: i + B], ts[i: i + B])
             i += B
     sys_.shutdown()
+    t_batch = time.perf_counter() - t1
     dt = time.perf_counter() - t0
     if verbose:
         st = sys_.tracker.stats()
-        print(f"warmup: {n_frames} frames, {st['n_kf']} KFs in {dt:.1f}s")
+        print(f"warmup: {n_frames} frames, {st['n_kf']} KFs in {dt:.1f}s "
+              f"(scene+render {t_render:.1f}s, per-frame path "
+              f"{t_single:.1f}s, batched path {t_batch:.1f}s)")
     return dt
 
 
