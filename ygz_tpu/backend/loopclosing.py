@@ -58,12 +58,19 @@ class LoopCloser:
         # weight >= 15 is the reference's connection threshold, falling back
         # to any covisible, then to 1.0 = block when none exist)
         scores = self.bow.scores(bow_vec)
-        strong = [k for k in covisible if k != kf and cov[k] >= 15]
+        # covisible ids NEWER than the BoW index are possible under the
+        # async worker (tracking creates KF k+1 while the tail still
+        # processes k); they carry no BoW entry yet — skip them (found by a
+        # 2,200-frame endurance run once the map grew past the index size)
+        n_bow = len(scores)
+        strong = [k for k in covisible
+                  if k != kf and k < n_bow and cov[k] >= 15]
         if not strong:
-            strong = [k for k in covisible if k != kf]
+            strong = [k for k in covisible if k != kf and k < n_bow]
         min_score = min((scores[k] for k in strong), default=1.0)
-        cands = self.bow.loop_candidates(bow_vec, min_score=min_score,
-                                         exclude=covisible)
+        cands = self.bow.loop_candidates(
+            bow_vec, min_score=min_score,
+            exclude={k for k in covisible if k < n_bow})
         if not cands:
             self._consistent_groups = []
             return None

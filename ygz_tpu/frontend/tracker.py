@@ -986,7 +986,9 @@ class MonoTracker:
         if kf < 0 or not smap.kf_valid[kf]:
             return None
         g1 = g2 = None
-        if self.bow_index is not None and self.bow_index.kf_valid[kf]:
+        if (self.bow_index is not None
+                and kf < len(self.bow_index.kf_valid)
+                and self.bow_index.kf_valid[kf]):
             fg = self._frame_groups(f)
             if fg is not None:
                 g1 = jnp.asarray(self.bow_index.feat_groups(kf))
