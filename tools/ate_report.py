@@ -11,7 +11,7 @@ Round-4 protocol (VERDICT r3 #5): every mode runs with the BENCH defaults
 — async mapping worker ON and (mono) the 8-frame microbatched entry — and
 trajectories are exported through recovered_pose (relative-to-keyframe
 composition, so BA/loop corrections propagate, matching the reference's
-SaveTrajectoryTUM semantics). A 520-frame out-and-back mono sequence with a
+SaveTrajectoryTUM semantics). A 640-frame square-circuit mono sequence with a
 real loop closure firing is included.
 
 Usage: JAX_PLATFORMS=cpu python tools/ate_report.py [--out ATE_r04.md]
@@ -239,9 +239,9 @@ def main():
                 "evaluate_ate_euroc.py). All modes run with the bench "
                 "defaults (async mapping + 8-frame microbatch for mono); "
                 "poses are exported post-correction via recovered_pose. "
-                "mono-loop = 520-frame out-and-back with a live loop "
-                "closure. Trajectory span ~1.5 world units (~scene depth "
-                "5); mono-loop spans ~8 units.\n\n")
+                "mono-loop = 640-frame square circuit (4 x 11-unit legs) "
+                "closed by a live loop closure. Trajectory span ~1.5 "
+                "world units (~scene depth 5) for the 50-frame rows.\n\n")
         f.write("| mode | nuisances | ATE RMSE | frames OK | alignment |\n")
         f.write("|---|---|---|---|---|\n")
         for mode, nu, rmse, ok, n, align in rows:

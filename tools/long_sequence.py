@@ -29,6 +29,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+# hermetic by default: the endurance artifact is a CPU run (the env var
+# alone does not displace the auto-registered TPU plugin on this machine)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def pose(i, n_total):
@@ -67,8 +73,10 @@ def main():
     W, H, F = 752, 480, 458.0
     n = args.frames
     # texture sized so the whole out-and-back span stays on fresh surface:
-    # 0.045 * n/2 world units of travel + view width
-    tex = 4000
+    # half-width must cover 0.045*n/2 units of travel + ~8 units of view
+    # margin at 60 px/unit (run 1 drove off a fixed-size texture at frame
+    # ~1650 and died textureless)
+    tex = int(2 * (0.045 * n / 2 + 8.0) * 60)
     scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=tex)
     cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy, W, H)
     # kf_max_gap=6 forces >=n/6/2 keyframes so the 256-KF capacity is

@@ -101,6 +101,18 @@ class MonoViTracker(MonoTracker):
                                  vins_init_kfs=vins_init_kfs,
                                  vins_init_time=vins_init_time)
 
+    def recovered_pose(self, rec):
+        """VI frames export the LIVE fused pose. The KF-recomposition the
+        mono tracker uses (relative record x ref-KF's current pose) serves
+        to propagate loop/GBA corrections — which are DISABLED under IMU
+        (reference gates CorrectLoop off with IMU, LoopClosing.cc:70-78) —
+        while the VI window BA wiggles KF poses per insertion; composing
+        IMU-fused frame poses onto those measured 3-30x WORSE than the
+        filter output (r4 probes: raw 0.011 vs recomposed 0.18-0.33 ATE).
+        The reference's own VI export is KF NavStates only
+        (SaveKeyFrameTrajectoryNavState, include/System.h:127)."""
+        return rec.R, rec.t
+
     def reset(self, keep_trajectory: bool = True):
         traj = self.trajectory if keep_trajectory else []
         for rec in traj:  # bake relative records against the dying map
@@ -413,6 +425,18 @@ class MonoViTracker(MonoTracker):
         # sanity: recovered gravity magnitude near g
         if abs(np.linalg.norm(res.gravity_w) - self.gravity_mag) > 2.0:
             return
+        # quality gate (r4): a large disagreement between the step-2 linear
+        # scale and the step-3 refined scale, or a high normalized residual
+        # of the refinement system, means the window's excitation cannot
+        # pin the scale — accepting it bakes a wrong metric scale into the
+        # whole map. Retry at the next keyframe instead (the reference
+        # avoids this class of failure by waiting 15 s of data,
+        # src/IMU/configparam.cpp:15).
+        s_ratio = res.scale / max(res.scale_linear, 1e-9)
+        if res.res_norm > 0.25 or not (0.7 < s_ratio < 1.4):
+            self.debug["vins_init_rejected"] = (
+                float(res.res_norm), float(s_ratio))
+            return
 
         s = res.scale
         # rescale the whole map to metric (reference TryInitVIO :516-531)
@@ -506,11 +530,24 @@ class MonoViTracker(MonoTracker):
                 P, V, R = self._ns
                 self._kf_ns[kf] = (P.copy(), V.copy(), R.copy())
             else:
+                # async worker running behind tracking: derive the KF's
+                # NavState from its STORED pose; the velocity comes from a
+                # finite difference of the chain positions — copying the
+                # previous KF's (stale) velocity seeded the window BA with
+                # an inconsistent state and occasionally committed a bad KF
+                # pose that recovered_pose then composed into whole frame
+                # segments (r4 recovered-ATE blowups)
                 R_b, P_b = self._cam_to_body(smap.kf_R[kf], smap.kf_t[kf])
                 prev = [k for k in self._kf_order
                         if k != kf and k in self._kf_ns]
-                V = self._kf_ns[prev[-1]][1].copy() if prev \
-                    else np.zeros(3, np.float32)
+                if prev:
+                    kp = prev[-1]
+                    dt = max(float(smap.kf_ts[kf] - smap.kf_ts[kp]), 1e-3)
+                    _, P_prev = self._cam_to_body(smap.kf_R[kp],
+                                                  smap.kf_t[kp])
+                    V = ((P_b - P_prev) / dt).astype(np.float32)
+                else:
+                    V = np.zeros(3, np.float32)
                 self._kf_ns[kf] = (P_b.astype(np.float32), V,
                                    R_b.astype(np.float32))
         chain = [k for k in self._kf_order
