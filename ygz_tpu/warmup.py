@@ -146,7 +146,11 @@ def main(argv=None):
     cam = cam_mod.Camera.make(a.focal, a.focal, a.width / 2.0 - 0.5,
                               a.height / 2.0 - 0.5, a.width, a.height)
     cfg = TrackerConfig(async_mapping=False, track_batch=a.batch)
-    dt = warmup_tracking(cam, cfg, verbose=True)
+    # enough frames for the bootstrap (per-frame path) PLUS two full
+    # microbatches — otherwise the batched program never traces here and
+    # first-compiles mid-benchmark
+    dt = warmup_tracking(cam, cfg, n_frames=max(26, 8 + 2 * a.batch),
+                         verbose=True)
     print(f"warmup subprocess done in {dt:.1f}s")
 
 
