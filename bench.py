@@ -131,9 +131,11 @@ def timed_child():
     logging.getLogger("jax._src.interpreters.pxla").setLevel(logging.DEBUG)
 
     probe = jax.jit(lambda x: x + 1.0)
-    px = jnp.zeros(())
 
     def rtt(reps=8):
+        # px recreated per call: after a reconnect the old probe constant
+        # belongs to the dead client
+        px = jnp.zeros(())
         jax.block_until_ready(probe(px))
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -158,6 +160,17 @@ def timed_child():
         sys_.track_monocular_batch(list(frames[i: i + BATCH]),
                                    ts[i: i + BATCH])
 
+    # ---- timed loop with link-degradation failover -----------------------
+    # the tunnel's RTT degrades per-connection and permanently (~0.07 ->
+    # ~30 ms, PERF_r04.md); a fresh connection is healthy. Probe between
+    # chunks; on detection, swap the System onto a fresh connection
+    # (System.reconnect rebuilds all device state from host mirrors). The
+    # failover cost COUNTS toward the measured wall time — it is part of
+    # the system, only the probes themselves are excluded.
+    RTT_BAD_MS = 2.0
+    MAX_RECONNECTS = 8
+    n_reconnects = 0
+    reconnect_s = 0.0
     per_chunk = []
     rtts = []
     t0 = time.perf_counter()
@@ -170,8 +183,16 @@ def timed_child():
         per_chunk.append((len(r), time.perf_counter() - t1))
         i += len(r)
         t2 = time.perf_counter()
-        rtts.append(rtt(reps=2))
+        r_ms = rtt(reps=2)
+        rtts.append(r_ms)
         t0 += time.perf_counter() - t2   # probe time excluded
+        if r_ms > RTT_BAD_MS and n_reconnects < MAX_RECONNECTS:
+            dt_rec = sys_.reconnect()
+            n_reconnects += 1
+            reconnect_s += dt_rec
+            t2 = time.perf_counter()
+            rtts.append(rtt(reps=2))     # post-swap health, recorded
+            t0 += time.perf_counter() - t2
     dt = time.perf_counter() - t0
     t_d = time.perf_counter()
     sys_.shutdown()
@@ -197,6 +218,11 @@ def timed_child():
         "n_keyframes": stats["n_kf"],
         "stage_ms": {k: round(v, 2)
                      for k, v in stats["stage_ms"].items()},
+        # device-program launches per stage: on a degraded link wall time
+        # is ~(dispatches x RTT), so this is the optimization target
+        "dispatches": stats["dispatches"],
+        "n_reconnects": n_reconnects,
+        "reconnect_s": round(reconnect_s, 2),
         "rtt_start_ms": round(rtt0, 3),
         "rtt_run_p50_ms": round(float(np.percentile(rtts, 50)), 3),
         "rtt_run_max_ms": round(float(np.max(rtts)), 3),
@@ -211,9 +237,9 @@ def timed_child():
 
 
 def device_pipeline_fps():
-    """Kernel-ceiling secondary number: the fused 8-frame tracking program
-    alone (pyramid + sparse align + direct track + carry chain), dispatch +
-    completion, no host bookkeeping."""
+    """Kernel-ceiling secondary number: the fused tracking program alone
+    (pyramid + sparse align + direct track + carry chain) with the real
+    protocol's 2-deep dispatch pipeline, no host bookkeeping."""
     import jax
     import jax.numpy as jnp
     from ygz_tpu.frontend.framestep import (frame_step_batch, make_carry,
@@ -245,10 +271,14 @@ def device_pipeline_fps():
 
     n_chunks = 12
     t0 = time.perf_counter()
+    pending = None
     for _ in range(n_chunks):
         up = jnp.asarray(imgs)
         carry, outs, _ = frame_step_batch(up, carry, cache, None, intr)
-        _ = np.asarray(outs)
+        if pending is not None:
+            _ = np.asarray(pending)   # consume one chunk behind
+        pending = outs
+    _ = np.asarray(pending)
     dt = time.perf_counter() - t0
     return n_chunks * BATCH / dt
 
@@ -296,13 +326,15 @@ def run_staged(log):
             continue
         attempts.append({"fps": res["value"],
                          "rtt_run_p50_ms": res["rtt_run_p50_ms"],
+                         "n_reconnects": res["n_reconnects"],
                          "fresh_compiles": res["fresh_compiles"]})
         log(f"timed attempt {t_attempt + 1}: {res['value']} fps, "
-            f"run rtt p50 {res['rtt_run_p50_ms']} ms")
+            f"run rtt p50 {res['rtt_run_p50_ms']} ms, "
+            f"{res['n_reconnects']} reconnects")
         if best is None or res["value"] > best["value"]:
             best = res
-        if res["rtt_run_p50_ms"] < 2.0:
-            break   # healthy connection all the way through — done
+        if res["rtt_run_p50_ms"] < 2.0 and res["rtt_end_ms"] < 2.0:
+            break   # link healthy (natively or via failover) — done
     if best is None:
         raise RuntimeError(f"no timed attempt produced a RESULT: "
                            f"{attempts}")

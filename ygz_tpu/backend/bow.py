@@ -15,9 +15,11 @@ Design differences, deliberate:
     reference's 10^5..10^6-word scale. It runs at keyframe rate only. A
     flat chunked device argmin (WordLookup) remains for legacy
     vocabularies saved without the tree.
-  * BoW vectors are dense [W] tf-idf, L1-normalized; similarity is the DBoW2
-    L1 score s(v,w) = 1 - 0.5*|v-w|_1, computed for a query against ALL
-    keyframes as one broadcasted reduction.
+  * Keyframe BoW vectors are stored SPARSE (per-KF word ids + tf-idf
+    weights, `BowIndex.add_keyframe`): at 10^5-word vocabularies a dense
+    [max_kf, W] table would be ~GBs. Similarity is the DBoW2 L1 score
+    s(v,w) = 1 - 0.5*|v-w|_1, evaluated for a dense query vector against
+    all keyframes' sparse rows as one gather + segment reduction.
 """
 from __future__ import annotations
 
@@ -186,6 +188,10 @@ def assign_words_tree(desc01, valid, vocab: "Vocabulary"):
 
 # ------------------------------------------------------------- persistence
 def save_vocabulary(vocab: Vocabulary, path: str):
+    """Persist a trained vocabulary, bits packed (the reference ships the
+    1M-word ORBvoc.bin the same way, src/System.cc:186-191). Vocabularies
+    with a hierarchical lookup tree store it alongside; legacy flat
+    vocabularies store words/idf only."""
     if vocab.tree_centers is not None and len(vocab.tree_centers):
         np.savez_compressed(
             path, words_packed=np.packbits(vocab.words, axis=1),
@@ -194,9 +200,6 @@ def save_vocabulary(vocab: Vocabulary, path: str):
             tree_centers=vocab.tree_centers, tree_child=vocab.tree_child,
             tree_root=np.int64(vocab.tree_root))
         return
-    """Persist a trained vocabulary (bits packed: a 10^4-word tree is
-    ~0.4 MB — the reference ships the 1M-word ORBvoc.bin the same way,
-    src/System.cc:186-191)."""
     np.savez_compressed(
         path, words_packed=np.packbits(vocab.words, axis=1),
         groups=vocab.groups, idf=vocab.idf,

@@ -312,6 +312,8 @@ class LocalMapper:
         valid = np.zeros((cap, max_obs), bool)
         count = np.zeros(cap, np.int32)
         for k in win:
+            if smap.kf_feat_pending[k]:
+                continue  # placeholder descriptors (deferred extraction)
             bk = smap.kf_feat_pt[k]
             slots = np.nonzero(bk >= 0)[0]
             lp = loc[bk[slots]]
@@ -579,12 +581,14 @@ class LocalMapper:
         src/LocalMapping.cc:1228-1326): fuse the covisible (and their
         covisible) map points INTO the new KF, then fuse the new KF's points
         back into its strongest neighbors (the reverse direction)."""
-        direct = [k for k in smap.local_window(kf, n_direct + 1) if k != kf]
+        direct = [k for k in smap.local_window(kf, n_direct + 1)
+                  if k != kf and not smap.kf_feat_pending[k]]
         targets = set(direct)
         for k in direct:
             targets.update(smap.local_window(k, n_hop2 + 1))
         targets.discard(kf)
-        targets = [k for k in targets if smap.kf_valid[k]]
+        targets = [k for k in targets
+                   if smap.kf_valid[k] and not smap.kf_feat_pending[k]]
         # forward: all target points into the new KF
         pts = smap.points_in_kfs(targets)
         n = self.project_and_fuse(smap, kf, pts, radius=radius)

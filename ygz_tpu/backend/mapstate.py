@@ -58,6 +58,11 @@ class SlamMap:
         # reference's mvuRight, src/Frame.cc:509-701); -1 = monocular. BA and
         # pose optimization turn these into 3-D (u,v,u_r) edges.
         self.kf_feat_ur = np.full((max_kf, max_feat), -1.0, np.float32)
+        # True while a deferred keyframe's descriptor/angle rows are still
+        # placeholders (async off-thread extraction, tracker._extract_into_kf
+        # clears it). Descriptor consumers (ref-KF fallback matching) must
+        # skip pending keyframes (ADVICE r4).
+        self.kf_feat_pending = np.zeros(max_kf, bool)
 
         self.pt_xyz = np.zeros((max_pt, 3), np.float32)
         self.pt_valid = np.zeros(max_pt, bool)
@@ -136,7 +141,8 @@ class SlamMap:
     _KF_ARRS = ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
                 "kf_parent", "kf_cull_R", "kf_cull_t", "kf_feat_uv",
                 "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
-                "kf_feat_valid", "kf_feat_pt", "kf_feat_ur")
+                "kf_feat_valid", "kf_feat_pt", "kf_feat_ur",
+                "kf_feat_pending")
     _PT_ARRS = ("pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
                 "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
                 "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")

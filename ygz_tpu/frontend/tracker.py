@@ -73,7 +73,7 @@ class TrackerConfig:
     vocab_branching: int = 8
     vocab_depth: int = 3
     # "auto": load the shipped offline vocabulary (ygz_tpu/data/
-    # orb_vocab.npz, k=10 L=4 ~ 10^4 words — the analog of the reference
+    # orb_vocab.npz, k=10 L=5, 99,478 words — the analog of the reference
     # loading ORBvoc.bin at startup, src/System.cc:186-191) when present,
     # else train in-system on the init descriptors. A path loads that file;
     # None forces in-system training.
@@ -86,6 +86,13 @@ class TrackerConfig:
     # microbatch size for track_batch(): B consecutive frames per device
     # dispatch (one upload + execute + readback per chunk). 1 = per-frame.
     track_batch: int = 8
+    # chunks kept in flight by track_batch: chunk N+1 depends only on the
+    # device-resident carry, so it is dispatched BEFORE chunk N's readback
+    # is consumed. On a latency-degraded link (~30 ms RTT, PERF_r04.md)
+    # this hides one full dispatch round-trip per chunk; keyframe/mapping
+    # effects lag one extra chunk (same contract as the in-chunk B-1 frame
+    # lag). 1 = serial dispatch-consume (round-4 behavior).
+    pipeline_depth: int = 2
     # distributed bundle adjustment: shard global BA over the first N
     # devices (landmark-block sharding, parallel/dist_ba.py). 0/1 = single
     # device. This is the product plumbing for the multi-chip capability
@@ -159,6 +166,12 @@ class MonoTracker:
 
         self._cache = np.zeros(0, np.int64)   # map point ids in direct cache
         self._cache_dev = None                # device snapshot of their state
+        # host mirrors for device-state reconstruction after a connection
+        # failover (reconnect): the last consumed frame's image + its
+        # tracked (ids, uv) — everything else the carry needs lives in
+        # _last_R/_last_t/_vel and the map
+        self._last_img = None
+        self._last_tracked = None
         # lock-free published tracking snapshot: (cache ids, device cache,
         # ref kf id, ref kf pose). The tracking hot path reads ONLY this
         # (one atomic attribute read); the mapping tail republishes it after
@@ -215,6 +228,60 @@ class MonoTracker:
             self._map_worker_error = None
             raise err
 
+    def reconnect(self, keep_pyramids: int = 16) -> float:
+        """Swap to a FRESH device connection and rebuild the tracker's
+        device-resident state from host mirrors (mid-run link-degradation
+        failover, VERDICT r5 #1b). The tunnel's dispatch RTT degrades
+        per-connection and permanently (~0.07 -> ~30 ms, PERF_r04.md);
+        fresh connections are healthy, and with the persistent compilation
+        cache warm every program re-loads without a server compile.
+
+        Rebuilt state: undistortion grid, direct-cache snapshot, the
+        per-frame carry (pyramid re-built from the last consumed frame's
+        host image; pose/velocity/tracked-uv from host mirrors). The
+        newest `keep_pyramids` keyframes' pyramids are pulled to host
+        numpy through the old channel (the mapping tail still needs them);
+        older ones are dropped (they only serve refugee re-homing at cull
+        time, which tolerates absence). Returns seconds spent."""
+        from ..utils import link
+
+        self.wait_mapping_idle()
+        t0 = time.perf_counter()
+        smap = self.map
+        with self._map_lock:
+            keep = set()
+            if smap.n_kf and self._last_kf >= 0:
+                keep = set(smap.local_window(self._last_kf, keep_pyramids))
+                keep.update(range(max(0, smap.n_kf - 4), smap.n_kf))
+            for k in range(smap.n_kf):
+                if smap.kf_pyr[k] is None:
+                    continue
+                if k in keep and smap.kf_valid[k]:
+                    smap.kf_pyr[k] = tuple(np.asarray(lv)
+                                           for lv in smap.kf_pyr[k])
+                else:
+                    smap.kf_pyr[k] = None
+            link.reconnect()
+            if self._remap is not None:
+                mu, mv = cam_mod.undistort_remap_grid(self.cam)
+                self._remap = jnp.stack([jnp.asarray(mu), jnp.asarray(mv)])
+            if hasattr(self, "_no_pred_dev"):
+                del self._no_pred_dev
+            self.mapper._dist_ba_cache.clear()
+            if self.mapper.mesh is not None:
+                from jax.sharding import Mesh
+                n = self.mapper.mesh.devices.size
+                self.mapper.mesh = Mesh(np.array(jax.devices()[:n]),
+                                        ("obs",))
+            if len(self._cache):
+                self._upload_cache()
+            if self.state == State.OK and self._last_img is not None:
+                pyr = self._build_pyramid(self._last_img)
+                self._set_last_frame(pyr, self._last_R, self._last_t,
+                                     cache_uv=self._last_tracked)
+        self.timer.count["reconnect"] += 1
+        return time.perf_counter() - t0
+
     def reset(self, keep_trajectory: bool = True):
         """Clear map and tracking state (reference Tracking::Reset,
         src/Tracking.cc:1980-2028)."""
@@ -253,6 +320,7 @@ class MonoTracker:
         `depth`: optional [H,W] metric depth map (RGB-D mode)."""
         self.frame_id += 1
         self._cur_depth = depth
+        self._last_img = np.asarray(img)
 
         if self.state == State.NOT_INITIALIZED:
             with self.timer.stage("pyramid"):
@@ -471,6 +539,7 @@ class MonoTracker:
         n = len(ids)
 
         self.timer.total["frame_step"] -= time.perf_counter()
+        self.timer.dispatches["frame_step"] += 1
         self._carry, out = frame_step(
             jnp.asarray(img), self._carry, dev, pred_vec,
             self._remap, self.intr, n_levels=cfg.n_levels,
@@ -490,69 +559,102 @@ class MonoTracker:
 
     # ----------------------------------------------------------- batch track
     def track_batch(self, imgs, timestamps):
-        """Process consecutive frames with MICROBATCHED device dispatch:
-        chunks of cfg.track_batch frames run as one lax.scan on device
-        (framestep.frame_step_batch) — one upload + one execute + one
-        readback per chunk, amortizing the host<->device link latency B-fold.
-        Keyframe/mapping effects lag up to B-1 frames (the reference's async
-        LocalMapping exhibits the same lag). Bootstrap/LOST/fallback frames
-        and any frames after an in-batch tracking failure drop to the
-        per-frame path automatically.
+        """Process consecutive frames with MICROBATCHED, PIPELINED device
+        dispatch: chunks of cfg.track_batch frames run as one lax.scan on
+        device (framestep.frame_step_batch) — one upload + one execute +
+        one readback per chunk — and up to cfg.pipeline_depth chunks stay
+        in flight at once. Chunk N+1 depends only on the device-resident
+        carry and a cache snapshot, so it is dispatched BEFORE chunk N's
+        readback is materialized; on a latency-bound link the readback wait
+        of chunk N then overlaps chunk N+1's upload + execute (VERDICT r5
+        #1a). Keyframe/mapping effects lag up to B-1 frames in-chunk (the
+        reference's async LocalMapping exhibits the same lag) plus up to
+        (pipeline_depth-1) chunks of snapshot lag. Bootstrap/LOST/fallback
+        frames and any frames after an in-batch tracking failure drop to
+        the per-frame path; speculatively dispatched chunks chaining from
+        an invalidated carry are discarded unread.
 
         Returns a list of (state_name, R, t) per frame."""
         cfg = self.cfg
         B = cfg.track_batch
+        depth = max(1, cfg.pipeline_depth)
         results = []
-        i = 0
+        i = 0                  # first frame not yet consumed
+        next_i = 0             # first frame not yet dispatched
         n_total = len(imgs)
-        while i < n_total:
-            # per-frame path when not in steady state, when an external
-            # predictor is active (mono-VI), or for a short remainder
-            if (self.state != State.OK or B <= 1 or n_total - i < B
-                    or self._predict_pose() is not None):
-                st, R, t = self.track(imgs[i], timestamps[i])
-                results.append((st, R, t))
-                i += 1
-                continue
+        inflight = []          # [(i0, snap, outs_dev, pyrs)], oldest first
 
+        def can_batch(j):
+            # state/predictor are read at dispatch time: with chunks in
+            # flight this speculates that they stay unchanged (clean
+            # consumption leaves both as-is; aborts discard speculation)
+            return (self.state == State.OK and B > 1 and n_total - j >= B
+                    and self._predict_pose() is None)
+
+        def dispatch(j):
             snap = self._snap
             if (len(snap[0]) < cfg.cache_refill_below and self._tail_idle()):
                 with self._map_lock:
                     self._rebuild_cache()
                 snap = self._snap
-            ids, dev = snap[0], snap[1]
-
-            self.timer.total["frame_step"] -= time.perf_counter()
+            t0 = time.perf_counter()
             batch = jnp.asarray(np.stack(
-                [np.asarray(f) for f in imgs[i: i + B]]))
+                [np.asarray(f) for f in imgs[j: j + B]]))
             self._carry, outs, pyrs = frame_step_batch(
-                batch, self._carry, dev, self._remap, self.intr,
+                batch, self._carry, snap[1], self._remap, self.intr,
                 n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
                 min_align=cfg.min_align_points)
-            outs = np.asarray(outs)   # ONE [B, packed] readback buffer
-            self.timer.total["frame_step"] += time.perf_counter()
+            self.timer.total["frame_step"] += time.perf_counter() - t0
+            self.timer.dispatches["frame_step"] += 1
+            return (j, snap, outs, pyrs)
+
+        while i < n_total or inflight:
+            while len(inflight) < depth and can_batch(next_i):
+                inflight.append(dispatch(next_i))
+                next_i += B
+            if not inflight:
+                # per-frame path (bootstrap / LOST / external predictor /
+                # short remainder)
+                st, R, t = self.track(imgs[i], timestamps[i])
+                results.append((st, R, t))
+                i += 1
+                next_i = i
+                continue
+
+            i0, snap, outs_dev, pyrs = inflight.pop(0)
+            t0 = time.perf_counter()
+            outs = np.asarray(outs_dev)   # ONE [B, packed] readback buffer
+            self.timer.total["frame_step"] += time.perf_counter() - t0
             self.timer.count["frame_step"] += B
+            ids = snap[0]
 
             consumed = 0
             for b in range(B):
                 self.frame_id += 1
                 self._cur_depth = None
+                self._last_img = np.asarray(imgs[i0 + b])
                 out_b = unpack_out(outs[b], cfg.max_track)
 
                 def pyr_b(b=b):
                     return self._unstack(pyrs[b])
 
                 ok, R, t, clean = self._consume_out(
-                    out_b, ids, timestamps[i + b], pyr_b, batch_mode=True,
+                    out_b, ids, timestamps[i0 + b], pyr_b, batch_mode=True,
                     snap_xyz=snap[5])
-                self._log(timestamps[i + b], R, t)
+                self._log(timestamps[i0 + b], R, t)
                 results.append((self.state, R, t))
                 consumed += 1
                 if not clean:
                     # fallback/loss invalidated the rest of the chunk: the
                     # remaining frames re-run on the per-frame path
                     break
-            i += consumed
+            i = i0 + consumed
+            if consumed < B:
+                # the host rewrote the carry (fallback/reloc/reset):
+                # speculative chunks chained from the invalidated device
+                # carry — discard their results unread
+                inflight.clear()
+                next_i = i
         return results
 
     def _consume_out(self, out, ids, ts, pyr_fn, batch_mode: bool = False,
@@ -642,6 +744,8 @@ class MonoTracker:
         self._vel = (np.asarray(R_cur @ Rl_inv, np.float32),
                      np.asarray(t_cur - (R_cur @ Rl_inv) @ self._last_t,
                                 np.float32))
+        # host mirror for carry reconstruction after a connection failover
+        self._last_tracked = (t_ids, t_uv)
 
         # NOTE: no single-frame-failure eviction. Evicting points that
         # disagree with the current pose estimate self-selects the cache for
@@ -983,7 +1087,14 @@ class MonoTracker:
         the reference's 0.7 ratio)."""
         kf = self._last_kf
         smap = self.map
-        if kf < 0 or not smap.kf_valid[kf]:
+        # the newest KF's descriptors may still be placeholder zeros while
+        # the async worker runs its deferred extraction — fall back to the
+        # newest READY keyframe instead of matching against garbage
+        # (ADVICE r4)
+        while kf >= 0 and (not smap.kf_valid[kf]
+                           or smap.kf_feat_pending[kf]):
+            kf -= 1
+        if kf < 0:
             return None
         g1 = g2 = None
         if (self.bow_index is not None
@@ -1091,6 +1202,7 @@ class MonoTracker:
             smap.kf_feat_angle[kf, :mm] = feats["angle"][:mm]
             smap.kf_feat_valid[kf, :mm] = feats["valid"][:mm]
             smap.kf_feat_ur[kf, :mm] = feats["ur"][:mm]
+            smap.kf_feat_pending[kf] = False
 
     def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
                          tracked_lvl):
@@ -1126,6 +1238,11 @@ class MonoTracker:
         with self._map_lock:
             kf = smap.add_keyframe(R, t, feats, ts=ts,
                                    frame_id=self.frame_id, pyramid=pyr)
+            if defer:
+                # descriptor rows are placeholders until _extract_into_kf
+                # runs on the worker; matching against them silently fails
+                # (ADVICE r4) — consumers skip pending KFs
+                smap.kf_feat_pending[kf] = True
             smap.bind(kf, np.arange(m), tracked_ids[:m])
             # depth-seeded map points (RGB-D / stereo-depth path; reference
             # CreateNewKeyFrame close-point insertion src/Tracking.cc:1556-1608)
@@ -1164,6 +1281,9 @@ class MonoTracker:
             "n_loops_closed": self.n_loops_closed,
             "cache_size": len(self._cache),
             "stage_ms": self.timer.mean_ms(),
+            # device-program launches per stage (the real cost unit on a
+            # latency-degraded link; VERDICT r4 weak #6)
+            "dispatches": dict(self.timer.dispatches),
             # capacity-drop counters (no-silent-caps rule, SURVEY §7.3):
             # nonzero values mean BA problems exceeded their buckets and
             # shed support-ranked landmarks/observations
@@ -1179,9 +1299,13 @@ class MonoTracker:
             # triangulate new points against recent covisible keyframes
             with self.timer.stage("mt_triangulate"):
                 cov = smap.covisibility(kf)
+                # skip partners whose deferred descriptor extraction has not
+                # run yet (their rows are placeholder zeros, ADVICE r4)
+                cov = np.where(smap.kf_feat_pending[: len(cov)], 0, cov)
                 partners = list(np.argsort(-cov)[:3])
                 for prev in partners:
-                    if cov[prev] > 0 or prev == self._last_kf:
+                    if cov[prev] > 0 or (prev == self._last_kf
+                                         and not smap.kf_feat_pending[prev]):
                         self.mapper.create_new_points(smap, kf, int(prev),
                                                       pyr)
             # grow observations + fuse duplicates across the neighborhood

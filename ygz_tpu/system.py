@@ -267,6 +267,13 @@ class System:
         """Clear map and tracking state (reference System::Reset)."""
         self.tracker.reset(keep_trajectory=False)
 
+    def reconnect(self) -> float:
+        """Swap the engine onto a fresh device connection, rebuilding all
+        device-resident state from host mirrors — the mid-run failover for
+        tunneled accelerators whose per-connection dispatch RTT can degrade
+        permanently (utils/link.py). Returns seconds spent."""
+        return self.tracker.reconnect()
+
     def shutdown(self):
         """Drain the async mapping worker if one is running (reference
         System::Shutdown joins LocalMapping/LoopClosing, src/System.cc:434)."""

@@ -59,9 +59,11 @@ def enable():
     CPU-AOT path involved)."""
     import jax
 
-    plats = (os.environ.get("JAX_PLATFORMS", "")
-             or str(getattr(jax.config, "jax_platforms", None) or ""))
-    if "cpu" in plats:
+    # decide by the ACTUAL backend, not env-var string matching: on a
+    # CPU-default host with JAX_PLATFORMS unset the env var is empty but
+    # the backend is still XLA:CPU and its AOT-reload numerics bug applies
+    # (ADVICE r4)
+    if jax.default_backend() == "cpu":
         return None
     d = cache_dir()
     os.makedirs(d, exist_ok=True)

@@ -146,10 +146,12 @@ def main(argv=None):
     cam = cam_mod.Camera.make(a.focal, a.focal, a.width / 2.0 - 0.5,
                               a.height / 2.0 - 0.5, a.width, a.height)
     cfg = TrackerConfig(async_mapping=False, track_batch=a.batch)
-    # enough frames for the bootstrap (per-frame path) PLUS two full
+    # enough frames for the bootstrap (warmup_tracking consumes
+    # max(6, batch) frames on the per-frame path) PLUS two full
     # microbatches — otherwise the batched program never traces here and
     # first-compiles mid-benchmark
-    dt = warmup_tracking(cam, cfg, n_frames=max(26, 8 + 2 * a.batch),
+    dt = warmup_tracking(cam, cfg,
+                         n_frames=max(6, a.batch) + 2 * a.batch,
                          verbose=True)
     print(f"warmup subprocess done in {dt:.1f}s")
 
