@@ -64,7 +64,7 @@ def make_problem(P, L, O, seed=0):
             obs_p, obs_l, uv, np.ones(O, np.float32), intr)
 
 
-def time_ba(mesh, prob, P, L, iters=10, reps=5):
+def time_ba(mesh, prob, P, L, iters=10, reps=5, cg_iters=48):
     from ygz_tpu.parallel.dist_ba import (make_distributed_ba,
                                           partition_obs_by_landmark)
 
@@ -72,7 +72,8 @@ def time_ba(mesh, prob, P, L, iters=10, reps=5):
     (kf_R, kf_t, free, X0, ptv, obs_p, obs_l, obs_uv, obs_w, intr) = prob
     op, ol, ouv, our, ow, _ = partition_obs_by_landmark(
         obs_p, obs_l, obs_uv, obs_w, L, n_dev)
-    ba = make_distributed_ba(mesh, n_poses=P, n_points=L, iters=iters)
+    ba = make_distributed_ba(mesh, n_poses=P, n_points=L, iters=iters,
+                             cg_iters=cg_iters)
     args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
                  for a in (kf_R, kf_t, free, X0, ptv, op, ol, ouv, our, ow,
                            intr, np.float32(0.0)))
@@ -83,6 +84,46 @@ def time_ba(mesh, prob, P, L, iters=10, reps=5):
         res = ba(*args)
     jax.block_until_ready(res)
     return (time.perf_counter() - t0) / reps, float(res.total_chi2)
+
+
+def time_psum_loop(mesh, P, n_psums, reps=20):
+    """Collective-only yardstick: the solve's per-GN-iteration psum
+    pattern ([P,6] x n_psums) in isolation — what the communication phase
+    costs on this mesh with zero local work."""
+    from jax.sharding import PartitionSpec as PS
+    from jax import shard_map
+
+    axis = "obs"
+
+    def loop(x):
+        def body(_, v):
+            return jax.lax.psum(v, axis) * (1.0 / mesh.devices.size)
+        return jax.lax.fori_loop(0, n_psums, body, x)
+
+    fn = jax.jit(shard_map(loop, mesh=mesh, in_specs=PS(),
+                           out_specs=PS(), check_vma=False))
+    x = jnp.ones((P, 6))
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fn(x)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / reps
+
+
+def phase_breakdown(mesh, prob, P, L, reps=5):
+    """Split one 10-iteration solve into: normal-equation phase (residuals,
+    Jacobians, U/V/D blocks, back-substitution; cg_iters=0) vs the PCG
+    phase (the remainder), plus the isolated psum cost — the quantified
+    answer to WHERE the scaling loss lives (VERDICT r5 #4)."""
+    t_full, _ = time_ba(mesh, prob, P, L, iters=10, reps=reps, cg_iters=48)
+    t_ne, _ = time_ba(mesh, prob, P, L, iters=10, reps=reps, cg_iters=0)
+    # per solve: 10 GN iters x (48 CG psums + 3 block psums) + phase chi2
+    t_psum = time_psum_loop(mesh, P, n_psums=10 * 51)
+    return {"full_ms": round(t_full * 1e3, 2),
+            "normal_eq_ms": round(t_ne * 1e3, 2),
+            "cg_ms": round((t_full - t_ne) * 1e3, 2),
+            "psum_only_ms": round(t_psum * 1e3, 2)}
 
 
 def main():
@@ -97,7 +138,7 @@ def main():
     P, L, O = args.poses, args.points, args.obs
     sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
 
-    strong, weak = {}, {}
+    strong, weak, phases = {}, {}, {}
     for n in sizes:
         mesh = Mesh(np.array(devs[:n]), ("obs",))
         prob = make_problem(P, L, O)
@@ -105,6 +146,8 @@ def main():
         strong[n] = t
         print(f"strong n={n}: {t * 1e3:.1f} ms/solve chi2={chi:.1f}",
               flush=True)
+        phases[n] = phase_breakdown(mesh, prob, P, L)
+        print(f"phases n={n}: {phases[n]}", flush=True)
         prob_w = make_problem(P, L, O * n // max(sizes))
         t, chi = time_ba(mesh, prob_w, P, L)
         weak[n] = t
@@ -128,6 +171,11 @@ def main():
                               for n in sizes},
         "weak_efficiency": {str(n): round(weak[1] / weak[n], 3)
                             for n in sizes},
+        # per-phase split of one solve (VERDICT r5 #4): normal-equation
+        # phase (sharded per-observation compute) vs PCG phase (dominated
+        # by replicated [P,6] vector work + psums) vs the isolated psum
+        # loop — whichever phase stops shrinking with n carries the loss
+        "phase_breakdown_ms": {str(n): phases[n] for n in sizes},
         "target": ">=0.70 at N>=2 (BASELINE.md)",
     }
     with open(args.out, "w") as f:

@@ -43,6 +43,9 @@ class LoopCloser:
         # accepted loop edges (i, j, R, t, s), kept for every later
         # essential-graph solve (reference src/Optimizer.cc:2236)
         self.loop_edges = []
+        # per-closure evidence (VERDICT r5 #5): one dict per accepted loop
+        # with the matched candidate, Sim3 inlier count and scale
+        self.events = []
         self._rng = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------- detection
@@ -405,5 +408,10 @@ class LoopCloser:
         s3 = self.compute_sim3(smap, kf, cand)
         if s3 is None:
             return False
-        R, t, s, _ = s3
-        return self.correct(smap, kf, cand, (R, t, s))
+        R, t, s, ni = s3
+        ok = self.correct(smap, kf, cand, (R, t, s))
+        if ok:
+            self.events.append({"kf": int(kf), "cand": int(cand),
+                                "n_inliers": int(ni),
+                                "sim3_scale": round(float(s), 4)})
+        return ok

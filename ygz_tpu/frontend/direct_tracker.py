@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..backend.mapstate import REF_PATCH
 from ..backend.optim import pose_optimization
 from ..ops.align import align2d, _grid_offsets
-from ..ops.image import in_bounds, sample_bilinear
+from ..ops.image import in_bounds, sample_bilinear, as_levels
 
 WARP_BORDER = 10  # warped patch side = 8 + 2 border
 
@@ -176,18 +176,13 @@ def track_local_map_direct(cur_pyr, R_pred, t_pred,
                              level=lvl, n_inliers=res.n_inliers)
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels",))
-def refine_matches_direct(cur_pyr, R_cur, t_cur,
-                          pt_xyz, pt_valid, pt_patch, pt_ref_uv,
-                          pt_ref_level, pt_ref_R, pt_ref_t,
-                          intr, n_levels: int = 4):
-    """Single-pass subpixel re-match against a KNOWN pose: warp stored ref
-    patches + one batched KLT sweep, NO pose optimization. This is the
-    dedicated small program the mapping tail's triangulation refinement
-    needs (VERDICT r3 #3) — the full track_local_map_direct runs two align
-    passes + two staged pose-GN solves it would throw away.
-
-    Returns (uv [N,2] refined level-0 pixels in cur, ok [N] bool)."""
+def refine_matches_core(cur_pyr, R_cur, t_cur,
+                        pt_xyz, pt_valid, pt_patch, pt_ref_uv,
+                        pt_ref_level, pt_ref_R, pt_ref_t,
+                        intr, n_levels: int = 4):
+    """Traceable body of refine_matches_direct — also composed into the
+    fused multi-partner triangulation program (mapping.triangulate_multi)."""
+    cur_pyr = as_levels(cur_pyr, n_levels)
     visible, lvl, warped, warp_ok = _warp_setup(
         cur_pyr, R_cur, t_cur, pt_xyz, pt_valid, pt_patch, pt_ref_uv,
         pt_ref_level, pt_ref_R, pt_ref_t, intr, n_levels)
@@ -198,13 +193,28 @@ def refine_matches_direct(cur_pyr, R_cur, t_cur,
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))
-def capture_ref_patches(pyr, uv0, level, n_levels: int = 4):
-    """Sample REF_PATCH x REF_PATCH patches around features at their octave.
+def refine_matches_direct(cur_pyr, R_cur, t_cur,
+                          pt_xyz, pt_valid, pt_patch, pt_ref_uv,
+                          pt_ref_level, pt_ref_R, pt_ref_t,
+                          intr, n_levels: int = 4):
+    """Single-pass subpixel re-match against a KNOWN pose: warp stored ref
+    patches + one batched KLT sweep, NO pose optimization. This is the
+    dedicated small program the mapping tail's triangulation refinement
+    needs (VERDICT r3 #3) — the full track_local_map_direct runs two align
+    passes + two staged pose-GN solves it would throw away. `cur_pyr` may
+    be a level tuple or a stacked [SH,W] buffer.
 
-    uv0 [M,2] level-0 coords; level [M]. Returns [M,REF_PATCH,REF_PATCH].
-    """
+    Returns (uv [N,2] refined level-0 pixels in cur, ok [N] bool)."""
+    return refine_matches_core(cur_pyr, R_cur, t_cur, pt_xyz, pt_valid,
+                               pt_patch, pt_ref_uv, pt_ref_level, pt_ref_R,
+                               pt_ref_t, intr, n_levels)
+
+
+def capture_ref_patches_core(pyr, uv0, level, n_levels: int = 4):
+    """Traceable body of capture_ref_patches (pyr: tuple or stacked)."""
     from ..ops.align import sample_patches
 
+    pyr = as_levels(pyr, n_levels)
     M = uv0.shape[0]
     out = jnp.zeros((M, REF_PATCH, REF_PATCH), jnp.float32)
     for l in range(n_levels):
@@ -213,3 +223,13 @@ def capture_ref_patches(pyr, uv0, level, n_levels: int = 4):
         p = sample_patches(pyr[l], uv_l, REF_PATCH)
         out = jnp.where((level == l)[:, None, None], p, out)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def capture_ref_patches(pyr, uv0, level, n_levels: int = 4):
+    """Sample REF_PATCH x REF_PATCH patches around features at their octave.
+
+    uv0 [M,2] level-0 coords; level [M]. `pyr` may be a level tuple or a
+    stacked [SH,W] buffer. Returns [M,REF_PATCH,REF_PATCH].
+    """
+    return capture_ref_patches_core(pyr, uv0, level, n_levels)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fast, select, orb
-from ..ops.image import gaussian_blur
+from ..ops.image import gaussian_blur, as_levels
 
 
 class Features(NamedTuple):
@@ -89,6 +89,7 @@ class OrbExtractor:
         return uv, s, valid, ang, desc
 
     def _extract(self, pyramid, occupancy):
+        pyramid = as_levels(pyramid, self.n_levels, self.scale_factor)
         outs = []
         for lvl in range(self.n_levels):
             img = pyramid[lvl]
@@ -110,21 +111,49 @@ class OrbExtractor:
         return Features(uv=uv, level=level, angle=ang, score=s, desc=desc,
                         valid=valid)
 
+    def _extract_kf(self, pyramid, uv0, level, valid):
+        """Traceable fused keyframe extraction: descriptors/angles at the
+        tracked positions (deferred extraction, the reference recomputes
+        descriptors for direct-tracked keypoints at keyframe time,
+        src/ORBextractor.cc:1031-1127) + occupancy stamping around them +
+        fresh features in the unoccupied area — ONE program where the
+        round-4 host path dispatched describe_at + n_levels occupancy
+        stamps + the extractor separately (~6 device launches per KF)."""
+        pyramid = as_levels(pyramid, self.n_levels, self.scale_factor)
+        ang, desc = describe_at_core(pyramid, uv0, level, valid,
+                                     self.n_levels, self.scale_factor)
+        occ = []
+        for l in range(self.n_levels):
+            s = 0.5 ** l
+            h, w = pyramid[l].shape
+            uv_l = (uv0 + 0.5) * s - 0.5
+            occ.append(select.stamp_occupancy(
+                h, w, uv_l, valid, radius=max(4, int(8 * s))))
+        feats = self._extract(pyramid, tuple(occ))
+        return ang, desc, feats
+
+    def extract_keyframe(self, pyramid, uv0, level, valid):
+        """Fused keyframe extraction (see _extract_kf). `pyramid` may be a
+        level tuple or a stacked [SH,W] buffer. Returns (angle [M], desc
+        [M,256], Features)."""
+        if not hasattr(self, "_jit_kf"):
+            self._jit_kf = jax.jit(self._extract_kf)
+        if isinstance(pyramid, (tuple, list)):
+            pyramid = tuple(pyramid)
+        return self._jit_kf(pyramid, jnp.asarray(uv0), jnp.asarray(level),
+                            jnp.asarray(valid))
+
     def __call__(self, pyramid, occupancy=None) -> Features:
-        return self._jit(tuple(pyramid),
+        if isinstance(pyramid, (tuple, list)):
+            pyramid = tuple(pyramid)
+        return self._jit(pyramid,
                          tuple(occupancy) if occupancy is not None else None)
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
-def describe_at(pyramid, uv0, level, valid, n_levels: int = 4,
-                scale_factor: float = 2.0):
-    """Compute IC-angle + BRIEF for EXISTING keypoint positions (the analog of
-    the reference recomputing descriptors for direct-tracked keypoints at
-    keyframe time, src/ORBextractor.cc:1031-1127).
-
-    uv0 [M,2] level-0 coords, level [M] octave. Returns (angle [M],
-    desc [M,256]).
-    """
+def describe_at_core(pyramid, uv0, level, valid, n_levels: int,
+                     scale_factor: float):
+    """Traceable body of describe_at."""
+    pyramid = as_levels(pyramid, n_levels, scale_factor)
     M = uv0.shape[0]
     angle = jnp.zeros(M, jnp.float32)
     desc = jnp.zeros((M, 256), jnp.uint8)
@@ -139,3 +168,17 @@ def describe_at(pyramid, uv0, level, valid, n_levels: int = 4,
         angle = jnp.where(sel, ang_l, angle)
         desc = jnp.where(sel[:, None], desc_l, desc)
     return angle, desc
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def describe_at(pyramid, uv0, level, valid, n_levels: int = 4,
+                scale_factor: float = 2.0):
+    """Compute IC-angle + BRIEF for EXISTING keypoint positions (the analog of
+    the reference recomputing descriptors for direct-tracked keypoints at
+    keyframe time, src/ORBextractor.cc:1031-1127).
+
+    uv0 [M,2] level-0 coords, level [M] octave; `pyramid` may be a level
+    tuple or a stacked [SH,W] buffer. Returns (angle [M], desc [M,256]).
+    """
+    return describe_at_core(pyramid, uv0, level, valid, n_levels,
+                            scale_factor)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..backend.mapstate import REF_PATCH
-from ..ops.image import build_pyramid, remap
+from ..ops.image import (build_pyramid, remap, pyramid_shapes,  # noqa: F401
+                         stack_rows, stack_pyramid, unstack_pyramid)
 from .sparse_align import sparse_image_align
 from .direct_tracker import track_local_map_direct
 
@@ -60,63 +61,9 @@ class FrameOut(NamedTuple):
     level: jnp.ndarray    # [cap] search level
 
 
-# --------------------------------------------------------------- pyramid pack
-def pyramid_shapes(h: int, w: int, n_levels: int,
-                   scale_factor: float = 2.0):
-    """Per-level (H_l, W_l) shapes matching ops.image.build_pyramid."""
-    shapes = [(h, w)]
-    for lvl in range(1, n_levels):
-        if scale_factor == 2.0:
-            ph, pw = shapes[-1]
-            shapes.append((ph // 2, pw // 2))
-        else:
-            s = scale_factor ** lvl
-            shapes.append((int(round(h / s)), int(round(w / s))))
-    return shapes
-
-
-def stack_rows(h: int, w: int, n_levels: int, scale_factor: float = 2.0):
-    """(row_offsets, total_rows) of the stacked pyramid layout."""
-    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
-    offs, acc = [], 0
-    for (ph, _pw) in shapes:
-        offs.append(acc)
-        acc += ph
-    return offs, acc
-
-
-def stack_pyramid(pyr):
-    """Tuple of [H_l, W_l] levels -> one [SH, W0] stacked buffer (traceable)."""
-    w0 = pyr[0].shape[1]
-    rows = []
-    for lvl in pyr:
-        ph, pw = lvl.shape
-        if pw < w0:
-            lvl = jnp.pad(lvl, ((0, 0), (0, w0 - pw)))
-        rows.append(lvl)
-    return jnp.concatenate(rows, axis=0)
-
-
-def unstack_pyramid(stack, n_levels: int, scale_factor: float = 2.0,
-                    height: int | None = None):
-    """Stacked [SH, W0] -> tuple of [H_l, W_l] levels (static slices)."""
-    w0 = stack.shape[1]
-    if height is None:
-        # SH = H * (1 + 1/2 + ...) for power-of-two stacks; recover H from
-        # the level-shape table by search (exact for the shapes we build)
-        for h in range(1, stack.shape[0] + 1):
-            offs, total = stack_rows(h, w0, n_levels, scale_factor)
-            if total == stack.shape[0]:
-                height = h
-                break
-        else:
-            raise ValueError(f"cannot infer level heights from SH="
-                             f"{stack.shape[0]}")
-    shapes = pyramid_shapes(height, w0, n_levels, scale_factor)
-    offs, total = stack_rows(height, w0, n_levels, scale_factor)
-    assert total == stack.shape[0], (total, stack.shape)
-    return tuple(stack[o: o + ph, :pw]
-                 for (o, (ph, pw)) in zip(offs, shapes))
+# pyramid stack/unstack helpers live in ops.image (pyramid_shapes,
+# stack_rows, stack_pyramid, unstack_pyramid — re-exported above for
+# compatibility)
 
 
 # --------------------------------------------------------------- cache pack
@@ -362,6 +309,19 @@ def build_pyramid_dispatch(img, remap_grid, n_levels: int,
     if remap_grid is not None:
         img = remap(img, remap_grid[0], remap_grid[1])
     return build_pyramid(img, n_levels, scale_factor)
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def build_pyramid_stacked(img, remap_grid, n_levels: int,
+                          scale_factor: float = 2.0):
+    """Pyramid build (+ optional undistort) as ONE dispatch returning the
+    SINGLE-BUFFER stacked form — one device buffer instead of n_levels, so
+    downstream stacked-aware consumers (extractor, patch capture, carry
+    rebuild) never pay per-level transfers or eager slices."""
+    img = img.astype(jnp.float32)
+    if remap_grid is not None:
+        img = remap(img, remap_grid[0], remap_grid[1])
+    return stack_pyramid(build_pyramid(img, n_levels, scale_factor))
 
 
 def make_carry(pyr, R, t, uv, Xc, valid, Rv=None, tv=None) -> FrameCarry:

@@ -89,6 +89,11 @@ class MonoViTracker(MonoTracker):
         self._prev_obs = None   # last frame's (X, uv, is2, valid) for the
         #                         two-state pair optimization
 
+        # dead-reckoning bookkeeping (bounded pure-IMU operation, VERDICT
+        # r5 #3): start timestamp + frame count of the current vision
+        # outage; None/0 while vision is healthy
+        self._dr_since = None
+        self._dr_frames = 0
         self._imu_frame = []        # samples since last frame
         self._imu_since_kf = []     # samples since last keyframe
         self._frame_pre: Optional[PreintState] = None
@@ -210,9 +215,39 @@ class MonoViTracker(MonoTracker):
         val[:n] = True
         return X, uvp, is2, val
 
+    # vision-recovery consistency gate: max position gap (meters) between
+    # the dead-reckoned state and the map-anchored visual pose before the
+    # inertial chain is declared broken and the filter re-anchors to
+    # vision. ~3 sigma of honest 1 s preintegration drift; a diverged
+    # dead-reckoner overshoots this by orders of magnitude.
+    DR_REANCHOR_GAP_M = 0.5
+
     def _fuse_pose(self, R_cur, t_cur, ids, uv, lvl, xyz=None):
         if not self.vio_ready or self._ns is None:
             return None
+        if self._dr_frames > 0:
+            # first fused update after a dead-reckoning outage: gate the
+            # inertial state against the (map-anchored) visual pose instead
+            # of trusting whichever diverged (VERDICT r5 #3). Vision is
+            # anchored to the map; the dead-reckoned state is open-loop.
+            R_vis, P_vis = self._cam_to_body(R_cur, t_cur)
+            P_dr = self._ns[0]
+            gap = float(np.linalg.norm(P_vis - P_dr))
+            self._dr_since = None
+            self._dr_frames = 0
+            if gap > self.DR_REANCHOR_GAP_M:
+                # inertial chain broken: re-anchor at the visual pose; keep
+                # the dead-reckoned velocity only if it is still sane
+                V_dr = self._ns[1]
+                V = V_dr if float(np.linalg.norm(V_dr)) < 10.0 \
+                    else np.zeros(3, np.float32)
+                self._ns = (P_vis.astype(np.float32),
+                            np.asarray(V, np.float32),
+                            R_vis.astype(np.float32))
+                self._has_prior = False
+                self._prev_obs = None
+                self.debug["dr_reanchored"] = gap
+                return None     # adopt the visual pose unfused this frame
         P0, V0, R0 = self._ns
         R_wb, P_wb = self._cam_to_body(R_cur, t_cur)
         # velocity init: propagate or finite-difference
@@ -286,10 +321,38 @@ class MonoViTracker(MonoTracker):
             return False
         return ts - float(self.map.kf_ts[self._last_kf]) > 0.5
 
+    # maximum pure-IMU operation before escalating to relocalization. The
+    # reference's scale for "too long without vision anchoring" is its
+    # cTimeGap (0.5 s forces a KF); double-integrated IMU error grows ~t^2,
+    # so beyond ~1 s dead-reckoning is no longer a pose estimate — the
+    # reference escalates this class of failure to Relocalization
+    # (src/Tracking.cc:684-698 + :1826). Unbounded dead-reckoning was the
+    # r4 mono-VI bimodality: ATE range 0.012-115 over 6 nuisanced runs.
+    DR_MAX_S = 1.0
+
     def _on_vision_failed(self, pyr, ts, R_pred, t_pred) -> bool:
         if not self.vio_ready:
             return False
+        if self._dr_since is None:
+            self._dr_since = ts
+        if ts - self._dr_since > self.DR_MAX_S:
+            # dead-reckoning budget exhausted: stop pretending the IMU
+            # alone is a pose estimate. Try relocalization against the map
+            # right now; failing that, go LOST (the base tracker then
+            # relocalizes on subsequent frames).
+            self.debug["dr_escalated"] = True
+            self._dr_since = None
+            self._dr_frames = 0
+            if self.cfg.enable_relocalization and self._relocalize(pyr):
+                # _relocalize rebuilt the tracking state and re-anchored
+                # the filter; hand the recovered pose (NOT the dead-
+                # reckoned prediction) back to the frame consumer
+                self._recovered_pose_override = (self._last_R.copy(),
+                                                 self._last_t.copy())
+                return True
+            return False        # -> LOST
         # IMU dead-reckoning: adopt the propagated state
+        self._dr_frames += 1
         if hasattr(self, "_pred_body"):
             P, V, R = self._pred_body
             self._ns = (P.astype(np.float32), V.astype(np.float32),
@@ -297,6 +360,22 @@ class MonoViTracker(MonoTracker):
         self._has_prior = False
         self._prev_obs = None
         return True
+
+    def _relocalize(self, pyr) -> bool:
+        """Relocalization must also RE-ANCHOR the inertial filter: the
+        base-class path rewrites only the camera pose, and fusing the next
+        frame against a divergent NavState would immediately drag the
+        recovered pose away again."""
+        ok = super()._relocalize(pyr)
+        if ok and self.vio_ready:
+            R_wb, P_wb = self._cam_to_body(self._last_R, self._last_t)
+            self._ns = (P_wb.astype(np.float32), np.zeros(3, np.float32),
+                        R_wb.astype(np.float32))
+            self._has_prior = False
+            self._prev_obs = None
+            self._dr_since = None
+            self._dr_frames = 0
+        return ok
 
     # ------------------------------------------------------------- keyframes
     def _on_keyframe_created(self, kf, ts):

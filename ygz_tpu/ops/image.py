@@ -114,6 +114,89 @@ def pyramid_scales(num_levels: int, scale_factor: float = 2.0):
     return [scale_factor ** l for l in range(num_levels)]
 
 
+# --------------------------------------------------------- stacked pyramids
+# A pyramid travels over the device link as ONE [SH, W0] buffer: level l
+# occupies rows row_off[l] : row_off[l]+H_l, columns 0:W_l (width padded
+# with zeros to W0). Static slicing unstacks it for free inside a trace, so
+# jitted consumers accept either representation (`as_levels`), and the host
+# never pays one transfer per level.
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float = 2.0):
+    """Per-level (H_l, W_l) shapes matching build_pyramid."""
+    shapes = [(h, w)]
+    for lvl in range(1, n_levels):
+        if scale_factor == 2.0:
+            ph, pw = shapes[-1]
+            shapes.append((ph // 2, pw // 2))
+        else:
+            s = scale_factor ** lvl
+            shapes.append((int(round(h / s)), int(round(w / s))))
+    return shapes
+
+
+def stack_rows(h: int, w: int, n_levels: int, scale_factor: float = 2.0):
+    """(row_offsets, total_rows) of the stacked pyramid layout."""
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    offs, acc = [], 0
+    for (ph, _pw) in shapes:
+        offs.append(acc)
+        acc += ph
+    return offs, acc
+
+
+def stack_pyramid(pyr):
+    """Tuple of [H_l, W_l] levels -> one [SH, W0] stacked buffer
+    (traceable)."""
+    w0 = pyr[0].shape[1]
+    rows = []
+    for lvl in pyr:
+        ph, pw = lvl.shape
+        if pw < w0:
+            lvl = jnp.pad(lvl, ((0, 0), (0, w0 - pw)))
+        rows.append(lvl)
+    return jnp.concatenate(rows, axis=0)
+
+
+def unstack_pyramid(stack, n_levels: int, scale_factor: float = 2.0,
+                    height: int | None = None):
+    """Stacked [SH, W0] -> tuple of [H_l, W_l] levels (static slices)."""
+    w0 = stack.shape[1]
+    if height is None:
+        # recover H from the level-shape table by search (exact for the
+        # shapes we build)
+        for h in range(1, stack.shape[0] + 1):
+            offs, total = stack_rows(h, w0, n_levels, scale_factor)
+            if total == stack.shape[0]:
+                height = h
+                break
+        else:
+            raise ValueError(f"cannot infer level heights from SH="
+                             f"{stack.shape[0]}")
+    shapes = pyramid_shapes(height, w0, n_levels, scale_factor)
+    offs, total = stack_rows(height, w0, n_levels, scale_factor)
+    assert total == stack.shape[0], (total, stack.shape)
+    return tuple(stack[o: o + ph, :pw]
+                 for (o, (ph, pw)) in zip(offs, shapes))
+
+
+def as_levels(pyr, n_levels: int, scale_factor: float = 2.0,
+              height: int | None = None):
+    """Accept a pyramid as EITHER a tuple of levels or a stacked [SH, W0]
+    array; return the tuple form. Free at trace time (static slices), so
+    jitted consumers call this on entry and the host can keep pyramids in
+    their single-buffer form."""
+    if isinstance(pyr, (tuple, list)):
+        return tuple(pyr)
+    return unstack_pyramid(pyr, n_levels, scale_factor, height)
+
+
+def level0(pyr, height: int):
+    """The level-0 image from either pyramid representation."""
+    if isinstance(pyr, (tuple, list)):
+        return pyr[0]
+    return pyr[:height]
+
+
 def extract_patches(img, uv, half: int):
     """Gather square patches of side (2*half+1) centered at integer-rounded
     uv [N,2]. Returns [N, 2h+1, 2h+1]; centers are clamped so patches stay

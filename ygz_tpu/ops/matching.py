@@ -12,6 +12,8 @@ Constants follow the reference: TH_HIGH=100, TH_LOW=50 (src/ORBmatcher.cc:36).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -119,6 +121,25 @@ def match_with_windows(bits1, valid1, bits2, valid2, uv_pred1=None, uv2=None,
         idx, mok = mutual_filter(idx, idx21)
         ok = ok & mok
     return idx, ok
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "max_dist", "ratio", "mutual"))
+def match_with_windows_batch(bits1, valid1, bits2, valid2, uv1, uv2,
+                             radius: float, max_dist: float = TH_LOW,
+                             ratio: float = 0.9, mutual: bool = True):
+    """match_with_windows vmapped over a leading target axis: T independent
+    window-gated matches in ONE dispatch (the mapping tail's fuse stage ran
+    one dispatch per target keyframe in round 4; on a latency-degraded
+    link each dispatch costs a full round-trip — VERDICT r5 #2).
+
+    All arrays carry a leading [T] axis. Returns (idx [T,N1], ok [T,N1])."""
+    def one(b1, v1, b2, v2, u1, u2):
+        return match_with_windows(b1, v1, b2, v2, uv_pred1=u1, uv2=u2,
+                                  radius=radius, max_dist=max_dist,
+                                  ratio=ratio, mutual=mutual)
+
+    return jax.vmap(one)(bits1, valid1, bits2, valid2, uv1, uv2)
 
 
 def distinctive_descriptors(desc_stack, valid):

@@ -12,7 +12,11 @@ capped strong-scaling efficiency at 0.59 for n=2):
   * observations are partitioned BY OWNER of their landmark
     (`partition_obs_by_landmark`), so every landmark's normal-equation
     blocks (V_l, b_l, and the L-side coupling M_l) are computed entirely
-    locally — no communication for any per-landmark quantity;
+    locally — no communication for any per-landmark quantity. The coupling
+    M itself is never materialized (round 5; the round-4 [Lb,P,6,3] tensor
+    was 37 MB/device at Lb=8192 and memory-bound, inflating the n=1
+    baseline): all M-products stream over the observation axis as
+    per-edge [6,3] blocks;
   * the reduced camera system S = U + λI − Σ_l M_l V_l⁻¹ M_lᵀ is NEVER
     materialized: it is solved by block-Jacobi-preconditioned CG whose
     matvec applies the local landmark sum matrix-free and psums ONE [P,6]
@@ -158,30 +162,49 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
             # landmark-side blocks: fully local to the owner device
             V = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Bw, B), ol, Lb)
             bl = -jax.ops.segment_sum(jnp.einsum("nai,na->ni", Bw, r), ol, Lb)
-            M = jax.ops.segment_sum(jnp.einsum("nai,naj->nij", Aw, B),
-                                    ol * Pn + obs_p, Lb * Pn
-                                    ).reshape(Lb, Pn, 6, 3)
             V = V + lam * jnp.eye(3)[None]
             Vinv = jnp.linalg.inv(V)
-            T_ = jnp.einsum("lpik,lkm->lpim", M, Vinv)
+            # The landmark-pose coupling M ([Lb,Pn,6,3]) is NEVER
+            # materialized (r4 did: at Lb=8192,P=64 it is 37 MB/device and
+            # memory-bound, which inflated the n=1 baseline and polluted
+            # the scaling story — VERDICT r5 #4). Every product with M
+            # streams over the OBSERVATION axis instead: each observation
+            # is a unique (pose, landmark) pair, so its [6,3] contribution
+            # AwB_n is M's only nonzero in that (l,p) block.
+            AwB = jnp.einsum("nai,naj->nij", Aw, B)          # [O,6,3]
             # Schur RHS: g = bp - psum_l M V^-1 bl   (one [P,6] psum)
-            g = (bp - jax.lax.psum(jnp.einsum("lpim,lm->pi", T_, bl),
-                                   axis)) * fm
+            u = jnp.einsum("lij,lj->li", Vinv, bl)           # [Lb,3]
+            g = (bp - jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("nij,nj->ni", AwB, u[ol]), obs_p, Pn),
+                axis)) * fm
 
             # block-Jacobi preconditioner: S's [6,6] diagonal blocks only
-            # (one [P,6,6] psum; the dense [P,6,P,6] S is never formed)
+            # (one [P,6,6] psum; the dense [P,6,P,6] S is never formed).
+            # Exact when each (pose, landmark) pair carries one observation
+            # (always true for our observation tables); with duplicates it
+            # degrades gracefully — it only preconditions CG.
+            t_n = jnp.einsum("nij,njk->nik", AwB, Vinv[ol])  # [O,6,3]
             D = (U + lam * jnp.eye(6)[None]
-                 - jax.lax.psum(jnp.einsum("lpim,lpjm->pij", T_, M), axis))
+                 - jax.lax.psum(
+                     jax.ops.segment_sum(
+                         jnp.einsum("nik,njk->nij", t_n, AwB), obs_p, Pn),
+                     axis))
             D = (D * fm[:, :, None]
                  + (1.0 - fm)[:, :, None] * jnp.eye(6)[None])
             Dinv = jnp.linalg.inv(D)
 
             def matvec(x):
-                """S @ x matrix-free: local landmark sum + ONE [P,6] psum."""
+                """S @ x matrix-free: observation-streamed landmark sum +
+                ONE [P,6] psum (exact for any multiplicity)."""
                 Ux = jnp.einsum("pij,pj->pi", U + lam * jnp.eye(6)[None], x)
-                y = jnp.einsum("lqjm,qj->lm", M, x)          # M^T x  [Lb,3]
-                z = jnp.einsum("lij,lj->li", Vinv, y)
-                s = jax.lax.psum(jnp.einsum("lpim,lm->pi", M, z), axis)
+                y = jax.ops.segment_sum(
+                    jnp.einsum("nij,ni->nj", AwB, x[obs_p]), ol, Lb)
+                z = jnp.einsum("lij,lj->li", Vinv, y)        # [Lb,3]
+                s = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        jnp.einsum("nij,nj->ni", AwB, z[ol]), obs_p, Pn),
+                    axis)
                 out = Ux - s
                 return out * fm + x * (1.0 - fm)  # identity on fixed poses
 
@@ -207,7 +230,8 @@ def make_distributed_ba(mesh: Mesh, n_poses: int, n_points: int,
             dp, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
                                             (x0, r0, z0, z0))
             dp = dp * fm
-            rhs = bl - jnp.einsum("lpim,pi->lm", M, dp)
+            rhs = bl - jax.ops.segment_sum(
+                jnp.einsum("nij,ni->nj", AwB, dp[obs_p]), ol, Lb)
             dl = jnp.einsum("lij,lj->li", Vinv, rhs) * pt_valid[:, None]
 
             newR, newt = jax.vmap(

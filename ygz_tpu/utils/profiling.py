@@ -9,9 +9,22 @@ jax.profiler.trace around a run; this is the cheap always-on layer.
 """
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
+
+_tls = threading.local()
+
+
+def tick(n: int = 1):
+    """Count `n` device dispatches against the innermost active stage of
+    the calling thread (StageTimer.stage context). No-op outside a stage —
+    library code can tick unconditionally."""
+    stack = getattr(_tls, "stack", None)
+    if stack:
+        timer, name = stack[-1]
+        timer.dispatches[name] += n
 
 
 class StageTimer:
@@ -36,10 +49,15 @@ class StageTimer:
 
     @contextmanager
     def stage(self, name: str):
+        stack = getattr(_tls, "stack", None)
+        if stack is None:
+            stack = _tls.stack = []
+        stack.append((self, name))
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            stack.pop()
             self.total[name] += time.perf_counter() - t0
             self.count[name] += 1
 
