@@ -55,7 +55,12 @@ def render_frames():
     sampling on the accelerator would be this process's one big compile)."""
     from ygz_tpu.utils.synthetic import SmoothScene
 
-    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=2400)
+    # texture must cover the whole run: x reaches 0.05*(WARM+N) = 14.4
+    # units plus ~8.5 units of view half-span at 60 px/unit -> half-width
+    # >= 23 units. 2400 px (20 units) ran off the texture near the end of
+    # every r3-r5 run: the tail frames stared at clamped edge pixels, went
+    # LOST, and the per-frame reloc storm was charged to the headline.
+    scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=3000)
 
     def so3_np(w):
         """Rodrigues in numpy — jax.lie here would open this process's
@@ -156,9 +161,17 @@ def timed_child():
     cam = cam_mod.Camera.make(F, F, W / 2.0 - 0.5, H / 2.0 - 0.5, W, H)
     cfg = TrackerConfig(async_mapping=True, track_batch=BATCH)
     sys_ = System(cam, Sensor.MONOCULAR, config=cfg)
+    # clamp the warm window: range stepping by BATCH overshot WARM_FRAMES
+    # and re-fed frames 48..63 into the timed loop (every r3-r5 run logged
+    # 16 frames twice; `frames_logged` now audits this)
     for i in range(0, WARM_FRAMES, BATCH):
-        sys_.track_monocular_batch(list(frames[i: i + BATCH]),
-                                   ts[i: i + BATCH])
+        j = min(i + BATCH, WARM_FRAMES)
+        sys_.track_monocular_batch(list(frames[i: j]), ts[i: j])
+    # load the failure-path programs NOW: their first call mid-run is a
+    # fresh cache-load request, and a single stalled request permanently
+    # degrades this connection (PERF_r04.md; r5 forensics caught exactly
+    # this class poisoning otherwise compile-clean runs)
+    sys_.tracker.warm_failure_paths()
 
     # ---- timed loop with link-degradation failover -----------------------
     # the tunnel's RTT degrades per-connection and permanently (~0.07 ->
@@ -167,29 +180,53 @@ def timed_child():
     # (System.reconnect rebuilds all device state from host mirrors). The
     # failover cost COUNTS toward the measured wall time — it is part of
     # the system, only the probes themselves are excluded.
-    RTT_BAD_MS = 2.0
-    MAX_RECONNECTS = 8
+    # Probe-RTT threshold for failover. ~26 ms is NOT an outage on this
+    # transport: the tunnel defers execution until the first device->host
+    # buffer read, after which every request round-trips at the real link
+    # RTT (~26 ms) and the deferred work streams at ~25 MB/s of program
+    # intermediates — a CONSERVED cost no connection swap avoids (r5
+    # forensics, PERF_r05.md). Swapping on 26 ms probes thrashed three r5
+    # runs. Only a genuinely wedged link (~hundreds of ms, the stochastic
+    # stall class) is worth the swap.
+    RTT_BAD_MS = 200.0
+    MAX_RECONNECTS = 4
     n_reconnects = 0
     reconnect_s = 0.0
+    bad_streak = 0
+    grace = 0          # chunks to skip checking right after a swap (the
+    #                    post-swap re-trace/cache-load burst inflates probes)
     per_chunk = []
     rtts = []
     t0 = time.perf_counter()
     i = WARM_FRAMES
     total = len(frames)
+    # feed 3-chunk SLICES: within a slice, track_batch resumes chunked
+    # dispatch right after any fallback recovery; feeding single chunks
+    # made every abort downgrade the rest of its 32-frame window to the
+    # per-frame path (~100 extra sync dispatches per run, r5 repro)
+    SLICE = 3 * BATCH
     while i < total:
         t1 = time.perf_counter()
-        r = sys_.track_monocular_batch(list(frames[i: i + BATCH]),
-                                       ts[i: i + BATCH])
+        r = sys_.track_monocular_batch(list(frames[i: i + SLICE]),
+                                       ts[i: i + SLICE])
         per_chunk.append((len(r), time.perf_counter() - t1))
         i += len(r)
         t2 = time.perf_counter()
         r_ms = rtt(reps=2)
         rtts.append(r_ms)
         t0 += time.perf_counter() - t2   # probe time excluded
-        if r_ms > RTT_BAD_MS and n_reconnects < MAX_RECONNECTS:
+        if grace > 0:
+            grace -= 1
+            continue
+        bad_streak = bad_streak + 1 if r_ms > RTT_BAD_MS else 0
+        if bad_streak >= 2 and n_reconnects < MAX_RECONNECTS:
+            # two consecutive degraded probes: the link is gone, not
+            # jittering — swap to a fresh plugin session (utils/link.py)
             dt_rec = sys_.reconnect()
             n_reconnects += 1
             reconnect_s += dt_rec
+            bad_streak = 0
+            grace = 1
             t2 = time.perf_counter()
             rtts.append(rtt(reps=2))     # post-swap health, recorded
             t0 += time.perf_counter() - t2
@@ -215,6 +252,7 @@ def timed_child():
         "mapping_drain_s": round(drain_s, 1),
         "device_pipeline_fps": round(pipeline_fps, 2),
         "frames_ok": n_ok,
+        "frames_logged": len(sys_.trajectory),
         "n_keyframes": stats["n_kf"],
         "stage_ms": {k: round(v, 2)
                      for k, v in stats["stage_ms"].items()},
@@ -244,7 +282,7 @@ def device_pipeline_fps():
     import jax.numpy as jnp
     from ygz_tpu.frontend.framestep import (frame_step_batch, make_carry,
                                             pack_cache_np,
-                                            build_pyramid_dispatch)
+                                            build_pyramid_stacked)
 
     intr = (F, F, W / 2.0 - 0.5, H / 2.0 - 0.5)   # = warmup statics
     rng = np.random.default_rng(0)
@@ -262,7 +300,10 @@ def device_pipeline_fps():
         uv, np.zeros(cap, np.int32),
         np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1)),
         np.zeros((cap, 3), np.float32)))
-    pyr0 = build_pyramid_dispatch(jnp.asarray(imgs[0]), None, 4, 2.0)
+    # stacked form: the warm program the tracker itself uses (the old
+    # tuple-returning variant was no longer warmed and its fresh 10s
+    # server compile poisoned a run)
+    pyr0 = build_pyramid_stacked(jnp.asarray(imgs[0]), None, 4, 2.0)
     carry = make_carry(pyr0, np.eye(3), np.zeros(3), uv, X,
                        np.ones(cap, bool))
     up = jnp.asarray(imgs)
@@ -333,8 +374,8 @@ def run_staged(log):
             f"{res['n_reconnects']} reconnects")
         if best is None or res["value"] > best["value"]:
             best = res
-        if res["rtt_run_p50_ms"] < 2.0 and res["rtt_end_ms"] < 2.0:
-            break   # link healthy (natively or via failover) — done
+        if res["n_reconnects"] == 0 and res["fresh_compiles"] == 0:
+            break   # no outage, compile-clean — the number stands
     if best is None:
         raise RuntimeError(f"no timed attempt produced a RESULT: "
                            f"{attempts}")

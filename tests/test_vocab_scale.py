@@ -138,3 +138,83 @@ def test_retrieval_precision_recall_1000_kfs():
         f"top-1 precision {top1_hits}/{n_q} at 1000 KFs"
     assert top3_hits >= 0.9 * n_q, \
         f"top-3 recall {top3_hits}/{n_q} at 1000 KFs"
+
+
+@pytest.mark.slow
+def test_retrieval_precision_10000_kfs():
+    """10,000-keyframe database (VERDICT r5 #6): does the shipped k=10 L=5
+    vocabulary (99,478 words — one tree level below the reference ORBvoc's
+    ~10^6) still discriminate at the multi-thousand-KF scale where a
+    10^5-word vocabulary starts to saturate?
+
+    Protocol: 250 rendered places inserted twice (500 real entries with
+    place identity) + 9,500 DISTRACTOR keyframes whose descriptor sets are
+    bootstrap-resampled mixtures of the real views' descriptors — the same
+    word-frequency statistics as real imagery (a far harder distractor
+    than random bits, which quantize to rare words) but no coherent place.
+    Perturbed-pose queries of sampled places must still retrieve the true
+    place through the 9,500-entry haystack."""
+    vocab = load_vocabulary(VOCAB)
+    index = BowIndex(vocab, max_kf=256)        # growth to 16384 exercised
+    extractor = OrbExtractor(n_features=512, n_levels=4, scale_factor=2.0,
+                             fast_th=20.0, fast_th_min=7.0, mode="grid")
+
+    n_places = 250
+    n_distractors = 9500
+    scenes = [SmoothScene(seed=70, tex_size=2400),
+              StepScene(seed=80, tex_size=2400)]
+
+    def place_pose(p, jitter):
+        rng = np.random.default_rng(9000 + p * 7 + jitter)
+        yaw = 0.03 * np.sin(p * 0.11) + (0.004 * rng.standard_normal()
+                                         if jitter else 0.0)
+        R = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.0, yaw, 0.0], np.float32))))
+        c = np.array([0.05 * (p % 125), 0.25 * np.sin(p * 0.23), 0.0],
+                     np.float32)
+        if jitter:
+            c = c + rng.normal(0.0, 0.008, 3).astype(np.float32)
+        return scenes[p // 125], R, (-R @ c).astype(np.float32)
+
+    pool = []
+    for ins in range(2):                       # 500 real entries
+        for p in range(n_places):
+            scene, R, t = place_pose(p, jitter=ins)
+            desc, valid = _view_desc(extractor, scene, R, t)
+            _, bow = index.quantize(desc, valid)
+            index.add_keyframe(ins * n_places + p, bow)
+            if ins == 0:
+                pool.append(desc[valid])
+    pool = np.concatenate(pool)                # ~100k real descriptors
+
+    rng = np.random.default_rng(4)
+    for d in range(n_distractors):
+        sel = rng.integers(0, len(pool), 512)
+        desc = pool[sel]
+        _, bow = index.quantize(desc, np.ones(512, bool))
+        index.add_keyframe(2 * n_places + d, bow)
+    n_total = 2 * n_places + n_distractors
+    assert index.kf_valid[:n_total].all()
+
+    queries = range(3, n_places, 13)           # ~19 sampled places
+    top1_hits = top3_hits = n_q = 0
+    for p in queries:
+        scene, R, t = place_pose(p, jitter=2)
+        desc, valid = _view_desc(extractor, scene, R, t)
+        _, bow = index.quantize(desc, valid)
+        cands = index.reloc_candidates(bow, max_candidates=3)
+        n_q += 1
+
+        def is_true(c):
+            if c >= 2 * n_places:
+                return False                   # a distractor won
+            cp = c % n_places
+            return (cp // 125 == p // 125) and abs(cp - p) <= 3
+        if cands and is_true(cands[0]):
+            top1_hits += 1
+        if any(is_true(c) for c in cands):
+            top3_hits += 1
+    assert top1_hits >= 0.8 * n_q, \
+        f"top-1 precision {top1_hits}/{n_q} at {n_total} KFs"
+    assert top3_hits >= 0.9 * n_q, \
+        f"top-3 recall {top3_hits}/{n_q} at {n_total} KFs"

@@ -253,14 +253,25 @@ class MonoTracker:
             if smap.n_kf and self._last_kf >= 0:
                 keep = set(smap.local_window(self._last_kf, keep_pyramids))
                 keep.update(range(max(0, smap.n_kf - 4), smap.n_kf))
+            # pull recent pyramids to host through the OLD channel — but
+            # adaptively: on a degraded link each readback costs ~1 s
+            # (every dispatch does, PERF_r04.md), and 16 of them would make
+            # the failover slower than the outage. Time the first; if the
+            # old channel is slow, DROP the rest instead (the mapping tail
+            # tolerates absent pyramids — fewer triangulation partners for
+            # a few keyframes, rebuilt as new KFs arrive post-swap).
+            budget_ok = True
             for k in range(smap.n_kf):
                 if smap.kf_pyr[k] is None:
                     continue
-                if k in keep and smap.kf_valid[k]:
+                if budget_ok and k in keep and smap.kf_valid[k]:
                     p = smap.kf_pyr[k]
+                    t_pull = time.perf_counter()
                     smap.kf_pyr[k] = (tuple(np.asarray(lv) for lv in p)
                                       if isinstance(p, (tuple, list))
                                       else np.asarray(p))
+                    if time.perf_counter() - t_pull > 0.3:
+                        budget_ok = False   # old channel too slow
                 else:
                     smap.kf_pyr[k] = None
             link.reconnect()
@@ -656,10 +667,11 @@ class MonoTracker:
                     # remaining frames re-run on the per-frame path
                     break
             i = i0 + consumed
-            if consumed < B:
-                # the host rewrote the carry (fallback/reloc/reset):
-                # speculative chunks chained from the invalidated device
-                # carry — discard their results unread
+            if consumed < B or not clean:
+                # the host rewrote the carry (fallback/reloc/reset) — even
+                # on the chunk's LAST frame: speculative chunks chained
+                # from the invalidated device carry — discard their
+                # results unread
                 inflight.clear()
                 next_i = i
         return results
@@ -969,6 +981,72 @@ class MonoTracker:
                 np.zeros(3, np.float32)
         self._snap = (self._cache, self._cache_dev, ref, Rk, tk,
                       getattr(self, "_cache_xyz_host", None))
+
+    def warm_failure_paths(self):
+        """Trace + compile (or persistent-cache-load) every FAILURE-path
+        device program — the feature-fallback ladder and relocalization —
+        without disturbing tracking state. The clean startup warmup never
+        exercises these paths, so their first invocation used to land
+        mid-run; on the tunneled accelerator a first-call load can stall
+        ~10 s and permanently degrade the connection (r4/r5 bench
+        forensics: `big_compiles` on otherwise compile-clean runs). The
+        reference "loads vocabulary" at startup; we "compile kernels"
+        (SURVEY §7.3) — ALL of them. Call after initialization."""
+        if self.state != State.OK or self.map.n_kf == 0 \
+                or self._carry is None:
+            return
+        pyr = self._carry.pyr
+        f = self._feats_to_dict(self.extractor(pyr))
+        with self._map_lock:
+            ids = self._cache.copy()
+        R, t = self._last_R, self._last_t
+        # every (radius, ratio) combination the ladder/reloc paths bake
+        # into their match programs (python floats become trace constants:
+        # each distinct value is a separate executable)
+        pt_ids = slots = None
+        for radius, ratio in ((15.0, 0.9), (30.0, 0.9), (8.0, 0.8),
+                              (10.0, 0.85), (20.0, 0.85)):
+            got = self._match_points_to_feats(ids, R, t, f, radius=radius,
+                                              ratio=ratio)
+            if pt_ids is None or len(got[0]) > len(pt_ids):
+                pt_ids, slots = got
+        if len(pt_ids):
+            self._pose_opt_matches(pt_ids, slots, f, R, t)
+        # ref-KF BoW-gated match program (result discarded)
+        self._track_reference_keyframe(f)
+        # relocalization programs: node-gated match + PnP RANSAC
+        if self.bow_index is not None:
+            smap = self.map
+            kf = self._last_kf
+            if kf >= 0 and not smap.kf_feat_pending[kf]:
+                self._frame_groups(f)
+                gk = (jnp.asarray(self.bow_index.feat_groups(kf))
+                      if (kf < len(self.bow_index.kf_valid)
+                          and self.bow_index.kf_valid[kf]) else None)
+                matching.match_with_windows(
+                    jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
+                    jnp.asarray(smap.kf_feat_desc[kf]),
+                    jnp.asarray(smap.kf_feat_pt[kf] >= 0),
+                    max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+                    ang1=jnp.asarray(f["angle"]),
+                    ang2=jnp.asarray(smap.kf_feat_angle[kf]),
+                    groups1=jnp.asarray(f["groups"]), groups2=gk)
+            cap = 512
+            n = min(len(ids), cap)
+            X = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            valid = np.zeros(cap, bool)
+            if n:
+                X[:n] = smap.pt_xyz[ids[:n]]
+                Xc = X[:n] @ R.T + t
+                z = np.maximum(Xc[:, 2], 1e-3)
+                uv[:n] = np.stack([self.cam.fx * Xc[:, 0] / z + self.cam.cx,
+                                   self.cam.fy * Xc[:, 1] / z + self.cam.cy],
+                                  -1)
+                valid[:n] = True
+            self._rng, key = jax.random.split(self._rng)
+            pnp_ransac(jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
+                       self.intr, key, min_inliers=15)
 
     # ------------------------------------------------ feature-method fallbacks
     def _match_points_to_feats(self, pt_ids, R, t, f, radius, ratio=0.9,

@@ -9,25 +9,73 @@ this (its whole pipeline is in-process, /root/reference/src/Tracking.cc),
 but a link-tolerant execution layer is what turns "the link was degraded"
 from a benchmark excuse into an engineering non-event (VERDICT r4 #1).
 
-`reconnect()` tears down the process's PJRT client and builds a fresh one:
+`reconnect()` swaps the process onto a genuinely fresh tunnel session.
+Recreating the PJRT client alone is NOT enough on this plugin: its Rust
+provider (connection + session) lives in a process-global OnceLock
+("Changing any of these requires process restart" —
+axon/register/pjrt.py), so `clear_backends()` hands back the same stuck
+transport (measured r5: 8 in-process client swaps, RTT still ~27 ms,
+while a fresh PROCESS probed 0.09 ms at the same moment). The working
+mechanism is a fresh PLUGIN INSTANCE:
 
-  * `jax.extend.backend.clear_backends()` drops the cached client, so the
-    next `jax.devices()` opens a NEW tunnel connection (verified: new
-    client object, healthy RTT, ~ms cost);
-  * `jax.clear_caches()` drops traced executables bound to the old client;
-    with the persistent compilation cache enabled every program re-loads
-    from disk on next use (cache loads measured harmless, PERF_r04.md);
+  * copy the plugin .so to a new path and register it under a new
+    platform name with a fresh session id — a second dlopen has its own
+    globals, so its provider opens a NEW session through the relay
+    (verified healthy while the original sat degraded);
+  * `clear_backends()` + `clear_caches()` then re-point jax at it; with
+    the persistent compilation cache enabled every program re-loads from
+    disk on next use (cache loads measured harmless, PERF_r04.md);
   * arrays created before the swap remain READABLE (they pin the old
     client alive) but route through the old, possibly degraded channel —
     callers re-upload hot state from host mirrors instead
     (tracker.MonoTracker.reconnect).
+
+On CPU (tests) there is no plugin to re-instance; the client swap alone
+exercises the same caller-side rebuild machinery.
 """
 from __future__ import annotations
 
+import os
 import time
 
 
 _PROBE = None
+_FO_COUNT = 0          # failover instances registered so far
+_CUR_PLATFORM = None   # platform name of the active failover instance
+
+
+def _axon_failover_register():
+    """Register a fresh instance of the axon PJRT plugin (copied .so =>
+    separate process globals => fresh tunnel session). Returns the new
+    platform name, or None when the axon plugin is not present (CPU/TPU
+    test hosts)."""
+    global _FO_COUNT
+    import shutil
+    import tempfile
+    import uuid
+
+    import jax._src.xla_bridge as xb
+
+    src_name = _CUR_PLATFORM or "axon"
+    reg = xb._backend_factories.get(src_name) \
+        or xb._backend_factories.get("axon")
+    if reg is None:
+        return None
+    try:
+        opts = dict(reg.factory.keywords["options"])
+    except (AttributeError, KeyError, TypeError):
+        return None
+    so_src = os.environ.get("AXON_SO_PATH", "/opt/axon/libaxon_pjrt.so")
+    if not os.path.exists(so_src):
+        return None
+    _FO_COUNT += 1
+    name = f"axonfo{_FO_COUNT}"
+    so_dst = os.path.join(tempfile.gettempdir(),
+                          f"libaxon_pjrt_fo{os.getpid()}_{_FO_COUNT}.so")
+    shutil.copyfile(so_src, so_dst)
+    opts["session_id"] = str(uuid.uuid4())
+    xb.register_plugin(name, library_path=so_dst, options=opts)
+    return name
 
 
 def _probe():
@@ -56,18 +104,28 @@ def probe_rtt(reps: int = 4) -> float:
 
 
 def reconnect() -> float:
-    """Swap to a fresh device connection. Returns seconds spent.
+    """Swap to a fresh device connection/session. Returns seconds spent.
 
     Callers own re-uploading their device-resident state afterwards; any
     old-client array still referenced keeps working through the old
     channel (and is auto-transferred when mixed into new-client programs),
     so the swap is crash-safe even if some state is missed.
     """
+    global _CUR_PLATFORM
     import jax
     import jax.extend.backend as jeb
 
     t0 = time.perf_counter()
+    new_platform = None
+    if jax.default_backend() != "cpu":
+        try:
+            new_platform = _axon_failover_register()
+        except Exception:
+            new_platform = None   # fall back to a plain client swap
     jeb.clear_backends()
     jax.clear_caches()
+    if new_platform is not None:
+        jax.config.update("jax_platforms", f"{new_platform},cpu")
+        _CUR_PLATFORM = new_platform
     jax.devices()                 # open the fresh connection now
     return time.perf_counter() - t0

@@ -72,15 +72,14 @@ def warmup_tracking(cam, cfg=None, n_frames: int = 26,
         while i + B <= n_frames:
             sys_.track_monocular_batch(frames[i: i + B], ts[i: i + B])
             i += B
+    # failure-path programs (feature-fallback ladder, relocalization):
+    # the clean sweep never fails, so these only trace here EXPLICITLY —
+    # their first compile/load landing mid-benchmark was the r4/r5
+    # "big_compiles on a compile-clean run" poison (the r4 attempt of
+    # forcing failures with blank frames RESET the scratch map;
+    # warm_failure_paths runs the same programs without failing anything)
+    sys_.tracker.warm_failure_paths()
     sys_.shutdown()
-    # KNOWN GAP (r4): the failure-path programs (feature-fallback ladder,
-    # relocalization) only trace when tracking fails, which this clean
-    # sweep never does — their first compile can land mid-benchmark and
-    # degrade the tunnel (bench JSON `fresh_compiles`/`big_compiles` make
-    # it visible). Forcing failures here with blank frames was tried and
-    # reverted: the early-loss RESET it triggers tears down the scratch
-    # map mid-warmup. A dedicated ladder-warmup needs a scene that fails
-    # direct tracking WITHOUT losing the map.
     t_batch = time.perf_counter() - t1
     dt = time.perf_counter() - t0
     if verbose:
