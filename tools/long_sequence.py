@@ -43,7 +43,14 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-D_LEG = 11.0   # leg length in world units; legs are mutually out-of-frustum
+D_LEG = 11.0      # leg length at the design length (see DESIGN_FRAMES)
+DESIGN_FRAMES = 2240  # frames the D_LEG legs are sized for; shorter runs
+                      # scale the legs down so per-frame camera speed (the
+                      # thing tracking actually sees) is length-invariant
+
+
+def leg_length(n_total):
+    return D_LEG * min(1.0, n_total / DESIGN_FRAMES)
 
 
 def pose(i, n_total):
@@ -55,7 +62,7 @@ def pose(i, n_total):
     import jax.numpy as jnp
     from ygz_tpu.geometry import lie
 
-    D = D_LEG
+    D = leg_length(n_total)
     wp = [(0, 0), (D, 0), (D, D), (0, D), (0, 0),
           (-D, 0), (-D, -D), (0, -D), (0, 0)]
     n_legs = len(wp) - 1
@@ -97,7 +104,7 @@ def main():
     # texture must cover both squares (span 2*D_LEG) + ~8 units of view
     # margin at 60 px/unit (run 1 drove off a fixed-size texture at frame
     # ~1650 and died textureless)
-    tex = int(2 * (D_LEG + 8.0) * 60)
+    tex = int(2 * (leg_length(n) + 8.0) * 60)
     scene = SmoothScene(seed=11, w=W, h=H, f=F, tex_size=tex)
     nuis = None if args.no_nuisance else Nuisance(seed=3)
     cam = cam_mod.Camera.make(scene.f, scene.f, scene.cx, scene.cy, W, H)

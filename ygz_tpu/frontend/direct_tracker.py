@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 from ..backend.mapstate import REF_PATCH
 from ..backend.optim import pose_optimization
-from ..ops.align import align2d, _grid_offsets
-from ..ops.image import in_bounds, sample_bilinear, as_levels
+from ..ops.align import _grid_offsets
+from ..ops.image import in_bounds, as_levels
 
 WARP_BORDER = 10  # warped patch side = 8 + 2 border
 
@@ -101,7 +101,21 @@ def _warp_setup(cur_pyr, R_pred, t_pred, pt_xyz, pt_valid, pt_patch,
     off_patch = off_ref * (scale_c / ref_scale)[:, None, None, None]
     centre = (REF_PATCH - 1) / 2.0
     coords = off_patch + centre
-    warped = jax.vmap(sample_bilinear)(pt_patch, coords)    # [N,10,10]
+    # Bilinear resampling of each point's OWN stored patch as two small
+    # batched matmuls (hat-function weights) instead of 4 gathered
+    # elements per output pixel: exact same interpolation, but it runs on
+    # the MXU and contributes zero gather volume (the tunneled
+    # transport's cost unit, PERF_r05.md).
+    N = pt_patch.shape[0]
+    K = WARP_BORDER * WARP_BORDER
+    rr = jnp.arange(REF_PATCH, dtype=jnp.float32)
+    cxs = jnp.clip(coords[..., 0], 0.0, REF_PATCH - 1.001).reshape(N, K)
+    cys = jnp.clip(coords[..., 1], 0.0, REF_PATCH - 1.001).reshape(N, K)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cxs[..., None] - rr))  # [N,K,20]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(cys[..., None] - rr))  # [N,K,20]
+    tmp = jnp.einsum("nkr,nrc->nkc", wy, pt_patch)
+    warped = jnp.einsum("nkc,nkc->nk", tmp, wx).reshape(
+        N, WARP_BORDER, WARP_BORDER)
     # reject points whose warp leaves the stored patch
     inside = ((coords[..., 0] > 0.5) & (coords[..., 0] < REF_PATCH - 1.5)
               & (coords[..., 1] > 0.5) & (coords[..., 1] < REF_PATCH - 1.5))
@@ -112,10 +126,26 @@ def _warp_setup(cur_pyr, R_pred, t_pred, pt_xyz, pt_valid, pt_patch,
 def _make_align_all(cur_pyr, pt_xyz, pt_valid, warped, warp_ok, lvl, intr,
                     n_levels: int):
     """Closure aligning ALL points at their own search level against a pose
-    (R_c, t_c): project, per-level batched KLT, merge. Returns (uv, ok)."""
+    (R_c, t_c): project, ONE stacked-pyramid batched KLT, merge.
+
+    Each point's search level is a row offset into the stacked pyramid, so
+    a single align2d_stacked sweep replaces the former per-level loop that
+    ran the KLT over all N points at all L levels (L x the gather volume —
+    the dominant cost of the fused frame step on the tunneled accelerator,
+    PERF_r05.md). Returns (uv, ok)."""
+    from ..ops.align import align2d_stacked
+    from ..ops.image import stack_pyramid, stack_rows
+
     fx, fy, cx, cy = intr
     N = pt_xyz.shape[0]
     h0, w0 = cur_pyr[0].shape
+    stack = stack_pyramid(cur_pyr)
+    offs, _ = stack_rows(h0, w0, n_levels)
+    shapes = [lv.shape for lv in cur_pyr]
+    row_off = jnp.asarray(offs, jnp.int32)[lvl]
+    h_l = jnp.asarray([s[0] for s in shapes], jnp.int32)[lvl]
+    w_l = jnp.asarray([s[1] for s in shapes], jnp.int32)[lvl]
+    scale = (0.5 ** lvl.astype(jnp.float32))[:, None]
 
     def align_all(R_c, t_c):
         Xc2 = pt_xyz @ R_c.T + t_c
@@ -123,17 +153,13 @@ def _make_align_all(cur_pyr, pt_xyz, pt_valid, warped, warp_ok, lvl, intr,
         uvp = jnp.stack([fx * Xc2[:, 0] * zi2 + cx,
                          fy * Xc2[:, 1] * zi2 + cy], -1)
         vis = pt_valid & (Xc2[:, 2] > 0.1) & in_bounds(uvp, w0, h0, border=20)
-        uv_out = jnp.zeros((N, 2), jnp.float32)
-        ok_out = jnp.zeros(N, bool)
-        for l in range(n_levels):
-            s = 0.5 ** l
-            sel = vis & warp_ok & (lvl == l)
-            uv_l = (uvp + 0.5) * s - 0.5
-            uv_ref, ok_l, _ = align2d(cur_pyr[l], warped, uv_l, sel, iters=10)
-            uv0 = (uv_ref + 0.5) / s - 0.5
-            uv_out = jnp.where((sel & ok_l)[:, None], uv0, uv_out)
-            ok_out = ok_out | (sel & ok_l)
-        return uv_out, ok_out
+        sel = vis & warp_ok
+        uv_l = (uvp + 0.5) * scale - 0.5
+        uv_ref, ok, _ = align2d_stacked(stack, warped, uv_l, sel,
+                                        row_off, w_l, h_l, iters=10)
+        uv0 = (uv_ref + 0.5) / scale - 0.5
+        uv_out = jnp.where((sel & ok)[:, None], uv0, 0.0)
+        return uv_out, sel & ok
 
     return align_all
 
@@ -211,18 +237,23 @@ def refine_matches_direct(cur_pyr, R_cur, t_cur,
 
 
 def capture_ref_patches_core(pyr, uv0, level, n_levels: int = 4):
-    """Traceable body of capture_ref_patches (pyr: tuple or stacked)."""
+    """Traceable body of capture_ref_patches (pyr: tuple or stacked).
+
+    Samples every feature's patch at its own octave in ONE stacked-pyramid
+    gather (per-point level row offsets) instead of sampling all M points
+    at all L levels and masking — L x less gather volume (PERF_r05.md)."""
     from ..ops.align import sample_patches
+    from ..ops.image import stack_pyramid, stack_rows
 
     pyr = as_levels(pyr, n_levels)
-    M = uv0.shape[0]
-    out = jnp.zeros((M, REF_PATCH, REF_PATCH), jnp.float32)
-    for l in range(n_levels):
-        s = 0.5 ** l
-        uv_l = (uv0 + 0.5) * s - 0.5
-        p = sample_patches(pyr[l], uv_l, REF_PATCH)
-        out = jnp.where((level == l)[:, None, None], p, out)
-    return out
+    h0, w0 = pyr[0].shape
+    stack = stack_pyramid(pyr)
+    offs, _ = stack_rows(h0, w0, n_levels)
+    row_off = jnp.asarray(offs, jnp.float32)[level]
+    s = 0.5 ** level.astype(jnp.float32)
+    uv_l = (uv0 + 0.5) * s[:, None] - 0.5
+    uv_stack = uv_l + jnp.stack([jnp.zeros_like(row_off), row_off], -1)
+    return sample_patches(stack, uv_stack, REF_PATCH)
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))

@@ -17,6 +17,7 @@ import enum
 import queue
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -40,6 +41,20 @@ from .direct_tracker import capture_ref_patches  # noqa: F401 (re-export)
 from .framestep import (frame_step, frame_step_batch, make_carry,
                         unpack_out, unstack_pyramid, pack_cache_np,
                         pack_pred_np, build_pyramid_stacked)
+
+
+def _device_put_block(a):
+    """Upload one array slice and wait for it (runs on a pool thread, so
+    several slices' link round-trips overlap)."""
+    d = jnp.asarray(a)
+    jax.block_until_ready(d)
+    return d
+
+
+@jax.jit
+def _concat_chunks(*parts):
+    """Reassemble split-uploaded image slices device-side (one dispatch)."""
+    return jnp.concatenate(parts, axis=0)
 
 
 class State(enum.Enum):
@@ -182,6 +197,10 @@ class MonoTracker:
         self.debug = {}
         from ..utils.profiling import StageTimer
         self.timer = StageTimer()   # per-stage wall-clock (SURVEY §5 gap)
+        # image-upload workers: chunk uploads split + overlapped (the
+        # dominant per-chunk link cost on a degraded tunnel, PERF_r05.md)
+        self._upload_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="ygz-upload")
         # place recognition: vocabulary trained in-system at map init
         self.bow_index: BowIndex = None
         self.loop_closer: LoopCloser = None
@@ -600,6 +619,7 @@ class MonoTracker:
         next_i = 0             # first frame not yet dispatched
         n_total = len(imgs)
         inflight = []          # [(i0, snap, outs_dev, pyrs)], oldest first
+        pre = {}               # j -> upload futures for chunk starting at j
 
         def can_batch(j):
             # state/predictor are read at dispatch time: with chunks in
@@ -608,6 +628,19 @@ class MonoTracker:
             return (self.state == State.OK and B > 1 and n_total - j >= B
                     and self._predict_pose() is None)
 
+        def pre_upload(j):
+            # the image upload is the chunk's single biggest link cost
+            # (~1 s serialized at 32 frames on a degraded tunnel): split it
+            # across pool threads so the per-request round-trips overlap,
+            # and start it while earlier chunks are still dispatching /
+            # being consumed (upload rides under compute)
+            if j in pre or n_total - j < B:
+                return
+            arr = np.stack([np.asarray(f) for f in imgs[j: j + B]])
+            parts = np.array_split(arr, 4) if B >= 16 else [arr]
+            pre[j] = [self._upload_pool.submit(_device_put_block, p)
+                      for p in parts]
+
         def dispatch(j):
             snap = self._snap
             if (len(snap[0]) < cfg.cache_refill_below and self._tail_idle()):
@@ -615,8 +648,14 @@ class MonoTracker:
                     self._rebuild_cache()
                 snap = self._snap
             t0 = time.perf_counter()
-            batch = jnp.asarray(np.stack(
-                [np.asarray(f) for f in imgs[j: j + B]]))
+            futs = pre.pop(j, None)
+            if futs is None:
+                arr = np.stack([np.asarray(f) for f in imgs[j: j + B]])
+                parts = (np.array_split(arr, 4) if B >= 16 else [arr])
+                futs = [self._upload_pool.submit(_device_put_block, p)
+                        for p in parts]
+            devs = [f.result() for f in futs]
+            batch = devs[0] if len(devs) == 1 else _concat_chunks(*devs)
             self._carry, outs, pyrs = frame_step_batch(
                 batch, self._carry, snap[1], self._remap, self.intr,
                 n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
@@ -627,6 +666,7 @@ class MonoTracker:
 
         while i < n_total or inflight:
             while len(inflight) < depth and can_batch(next_i):
+                pre_upload(next_i + B)   # overlap next chunk's upload
                 inflight.append(dispatch(next_i))
                 next_i += B
             if not inflight:

@@ -31,11 +31,35 @@ def _grid_offsets(size: int):
 
 
 def sample_patches(img, uv, size: int):
-    """Bilinear patches [N,size,size] centred at uv [N,2] (subpixel)."""
-    ox, oy = _grid_offsets(size)
-    pts = jnp.stack([uv[:, None, None, 0] + ox[None],
-                     uv[:, None, None, 1] + oy[None]], axis=-1)  # [N,s,s,2]
-    return sample_bilinear(img, pts)
+    """Bilinear patches [N,size,size] centred at uv [N,2] (subpixel).
+
+    Shared-fraction gather: every sample in the patch sits on the same
+    integer grid shifted by one common subpixel fraction, so the whole
+    patch is a bilinear blend of ONE (size+1)^2 integer-aligned gather
+    instead of 4*size^2 per-sample corner gathers. On the tunneled
+    accelerator the transport charges dispatch time proportional to
+    gathered-element volume (PERF_r05.md), making this 3.2x cheaper than
+    the naive form; on a direct-attached TPU it is the same HBM traffic.
+    Results are bit-identical to per-sample bilinear for patches whose
+    (size+1)^2 support is in-bounds; callers mask boundary points (as they
+    already must — the old per-sample clamp distorted them too)."""
+    H, W = img.shape
+    o0 = -(size - 1) / 2.0                  # first grid offset
+    x = jnp.clip(uv[:, 0], 0.0, W - 1.001) + o0
+    y = jnp.clip(uv[:, 1], 0.0, H - 1.001) + o0
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None, None]
+    fy = (y - y0)[:, None, None]
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - size - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - size - 1)
+    r = jnp.arange(size + 1)
+    idx = ((yi[:, None, None] + r[None, :, None]) * W
+           + xi[:, None, None] + r[None, None, :])
+    g = jnp.take(img.reshape(-1), idx)      # [N,size+1,size+1]
+    top = (1.0 - fx) * g[:, :-1, :-1] + fx * g[:, :-1, 1:]
+    bot = (1.0 - fx) * g[:, 1:, :-1] + fx * g[:, 1:, 1:]
+    return (1.0 - fy) * top + fy * bot
 
 
 def warp_affine_patches(ref_img, uv_ref, A_ref_cur, size: int):
@@ -147,5 +171,57 @@ def align2d(cur_img, ref_border, uv_init, valid, iters: int = 10,
 
     inb = ((uv[:, 0] > HALF + 1) & (uv[:, 0] < W_img - HALF - 2)
            & (uv[:, 1] > HALF + 1) & (uv[:, 1] < H_img - HALF - 2))
+    ok = valid & conv & inb
+    return uv, ok, mean
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def align2d_stacked(stack, ref_border, uv_init, valid, row_off, w_l, h_l,
+                    iters: int = 10, eps: float = 0.03):
+    """align2d where every point aligns at its OWN pyramid level inside a
+    stacked [SH, W0] pyramid buffer (ops.image.stack_pyramid layout).
+
+    A per-level python loop runs the KLT over ALL N points at ALL L levels
+    and masks afterwards — L x the gather volume for the same answer. Here
+    each point's level is just a row offset into the stack, so one sweep
+    covers the whole local map (the dominant cost of the fused frame step
+    on the tunneled accelerator, PERF_r05.md).
+
+    Args:
+      stack: [SH, W0] stacked pyramid.
+      ref_border: [N, P+2, P+2] warped reference patches with 1-px border.
+      uv_init: [N, 2] starting positions in LEVEL-LOCAL coords.
+      valid / row_off / w_l / h_l: [N] level row offset and (W_l, H_l)
+        extents of each point's level.
+    Returns (uv [N,2] level-local refined, ok [N], mean_diff [N]).
+    """
+    ref, J, Hinv = _patch_jacobian(ref_border)
+    n, P, _ = ref.shape
+    ref_flat = ref.reshape(n, P * P)
+    off = jnp.stack([jnp.zeros(n, jnp.float32),
+                     row_off.astype(jnp.float32)], axis=-1)
+
+    def body(_, state):
+        uv, mean, conv = state
+        cur = sample_patches(stack, uv + off, P).reshape(n, P * P)
+        r = cur - (ref_flat + mean[:, None])
+        g = jnp.einsum("nki,nk->ni", J, r)
+        delta = jnp.einsum("nij,nj->ni", Hinv, g)
+        step_uv = delta[:, :2]
+        new_uv = uv - step_uv
+        new_mean = mean + delta[:, 2]
+        done = jnp.sum(step_uv * step_uv, axis=1) < eps * eps
+        upd = ~conv
+        uv = jnp.where(upd[:, None], new_uv, uv)
+        mean = jnp.where(upd, new_mean, mean)
+        return uv, mean, conv | done
+
+    state = (uv_init.astype(jnp.float32), jnp.zeros(n, jnp.float32),
+             jnp.zeros(n, bool))
+    uv, mean, conv = jax.lax.fori_loop(0, iters, body, state)
+    wf = w_l.astype(jnp.float32)
+    hf = h_l.astype(jnp.float32)
+    inb = ((uv[:, 0] > HALF + 1) & (uv[:, 0] < wf - HALF - 2)
+           & (uv[:, 1] > HALF + 1) & (uv[:, 1] < hf - HALF - 2))
     ok = valid & conv & inb
     return uv, ok, mean
