@@ -11,6 +11,7 @@ host-pipeline optimization); all numerics are jitted batched calls.
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -21,6 +22,18 @@ from .optim import local_bundle_adjustment, CHI2_MONO
 from ..geometry.triangulation import triangulate_dlt, triangulation_checks
 from ..ops import matching
 from ..utils import profiling
+
+# candidate-descriptor uploads ride pool threads so several link
+# round-trips overlap (same trick as the tracker's image pre-upload)
+_UPLOAD_POOL = ThreadPoolExecutor(max_workers=3,
+                                  thread_name_prefix="ygz-map-upload")
+
+
+def _put_block(a):
+    d = jnp.asarray(a)
+    jax.block_until_ready(d)
+    return d
+
 
 BA_P = 8       # local BA pose capacity
 BA_L = 2048    # landmark capacity
@@ -139,12 +152,15 @@ def _triangulate_multi_jit(descA, uvA, lvlA, validA, angA, RA, tA, pyrA,
     + acceptance gates, for P partner keyframes, as ONE device program —
     the round-4 tail dispatched ~4 programs per partner (VERDICT r5 #2).
 
-    pyrA [SH,W] stacked; pyrB [P,SH,W]. Returns (idx [P,NA], good [P,NA],
-    X [P,NA,3])."""
+    pyrA [SH,W] stacked. descB/uvB/lvlB/angB/pyrB are length-P TUPLES of
+    per-partner arrays (the partners' rows live device-resident in the
+    mapper's kf_dev_feats mirror — tuple args let jit consume them without
+    a host restack or an extra stack dispatch). Returns (idx [P,NA],
+    good [P,NA], X [P,NA,3])."""
     from ..frontend.direct_tracker import (capture_ref_patches_core,
                                            refine_matches_core)
 
-    P = descB.shape[0]
+    P = len(descB)
     NA = descA.shape[0]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     intr = (fx, fy, cx, cy)
@@ -195,6 +211,13 @@ class LocalMapper:
         # lacks, SURVEY.md §2.4). None = single-device path.
         self.mesh = mesh
         self._dist_ba_cache = {}
+        # device-resident per-KF feature mirrors (desc/uv/level/angle/
+        # valid), keyed by kf_feat_version: fuse, multi-partner
+        # triangulation, BoW quantization and the ref-KF fallback all
+        # consume the same ~140 KB of per-KF rows; re-uploading them per
+        # call dominated the mapping tail on the tunneled link
+        # (PERF_r05.md). Cleared on connection failover.
+        self._dev_feats = {}
         # capacity-drop accounting (SURVEY §7.3 no-silent-caps rule;
         # VERDICT r2 #6): every landmark/observation excluded from a BA
         # problem by a capacity bucket is counted here and surfaced through
@@ -202,6 +225,31 @@ class LocalMapper:
         self.dropped = {"local_ba_points": 0, "local_ba_obs": 0,
                         "global_ba_points": 0, "global_ba_obs": 0,
                         "desc_update_points": 0}
+
+    # -------------------------------------------------- device feature mirror
+    def kf_dev_feats(self, smap: SlamMap, k: int) -> dict:
+        """Device-resident mirror of KF k's feature rows. The rows are
+        immutable once extraction lands (kf_feat_version bumps on write),
+        so one upload serves every fuse/triangulate/BoW consumer until the
+        KF is re-extracted. FIFO-capped."""
+        ver = int(smap.kf_feat_version[k])
+        ent = self._dev_feats.get(k)
+        if ent is None or ent[0] != ver:
+            ent = (ver, {
+                "desc": jnp.asarray(smap.kf_feat_desc[k]),
+                "uv": jnp.asarray(smap.kf_feat_uv[k]),
+                "level": jnp.asarray(smap.kf_feat_level[k]),
+                "angle": jnp.asarray(smap.kf_feat_angle[k]),
+                "valid": jnp.asarray(smap.kf_feat_valid[k]),
+            })
+            self._dev_feats[k] = ent
+            while len(self._dev_feats) > 32:
+                self._dev_feats.pop(next(iter(self._dev_feats)))
+        return ent[1]
+
+    def drop_dev_feats(self):
+        """Invalidate the device mirrors (connection failover / reset)."""
+        self._dev_feats.clear()
 
     # ------------------------------------------------------------ triangulate
     def create_new_points(self, smap: SlamMap, kf_new: int, kf_prev: int,
@@ -350,45 +398,44 @@ class LocalMapper:
         med_depth = self.median_depth(smap, kf_new)
         NA = smap.max_feat
         P = self.MAX_PARTNERS
-        descB = np.zeros((P, NA, 256), np.uint8)
-        uvB = np.zeros((P, NA, 2), np.float32)
-        lvlB = np.zeros((P, NA), np.int32)
         validB = np.zeros((P, NA), bool)
-        angB = np.zeros((P, NA), np.float32)
         RB = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         tB = np.zeros((P, 3), np.float32)
         pactive = np.zeros(P, bool)
         pyrA = self._pyr_stacked(pyramid_new)
-        pyr_list = [pyrA] * P   # inactive slots reuse pyrA (masked out)
+        # per-partner feature rows come from the device-resident mirror —
+        # the only fresh uploads are the small unbound masks + poses
+        fA = self.kf_dev_feats(smap, kf_new)
+        pad = {"desc": fA["desc"], "uv": fA["uv"], "level": fA["level"],
+               "angle": fA["angle"], "pyr": pyrA}
+        parts = [pad] * P      # inactive slots reuse A's rows (masked out)
         for j, p in enumerate(partners):
             unB = smap.kf_feat_valid[p] & (smap.kf_feat_pt[p] < 0)
             if unB.sum() < 8:
                 continue
-            descB[j] = smap.kf_feat_desc[p]
-            uvB[j] = smap.kf_feat_uv[p]
-            lvlB[j] = smap.kf_feat_level[p]
+            fB = self.kf_dev_feats(smap, p)
+            parts[j] = {"desc": fB["desc"], "uv": fB["uv"],
+                        "level": fB["level"], "angle": fB["angle"],
+                        "pyr": self._pyr_stacked(smap.kf_pyr[p])}
             validB[j] = unB
-            angB[j] = smap.kf_feat_angle[p]
             RB[j] = smap.kf_R[p]
             tB[j] = smap.kf_t[p]
             pactive[j] = True
-            pyr_list[j] = self._pyr_stacked(smap.kf_pyr[p])
         if not pactive.any():
             return 0
-        pyrB = jnp.stack(pyr_list)
         idx, good, X = _triangulate_multi_jit(
-            jnp.asarray(smap.kf_feat_desc[kf_new]),
-            jnp.asarray(smap.kf_feat_uv[kf_new]),
-            jnp.asarray(smap.kf_feat_level[kf_new]),
-            jnp.asarray(unboundA),
-            jnp.asarray(smap.kf_feat_angle[kf_new]),
+            fA["desc"], fA["uv"], fA["level"],
+            jnp.asarray(unboundA), fA["angle"],
             jnp.asarray(smap.kf_R[kf_new]), jnp.asarray(smap.kf_t[kf_new]),
-            pyrA, jnp.asarray(descB), jnp.asarray(uvB), jnp.asarray(lvlB),
-            jnp.asarray(validB), jnp.asarray(angB), jnp.asarray(RB),
-            jnp.asarray(tB), pyrB, jnp.asarray(pactive),
+            pyrA,
+            tuple(q["desc"] for q in parts), tuple(q["uv"] for q in parts),
+            tuple(q["level"] for q in parts),
+            jnp.asarray(validB), tuple(q["angle"] for q in parts),
+            jnp.asarray(RB), jnp.asarray(tB),
+            tuple(q["pyr"] for q in parts), jnp.asarray(pactive),
             jnp.asarray(self.K.astype(np.float32)), jnp.float32(med_depth),
             n_levels=self.n_levels)
-        profiling.tick(2)   # the fused program + the pyrB stack op
+        profiling.tick()
         idx = np.asarray(idx)
         good = np.asarray(good)
         X = np.asarray(X)
@@ -866,12 +913,13 @@ class LocalMapper:
         if prep is None:
             return 0
         pts_n, descA, uvA, vA = prep
+        descA = _UPLOAD_POOL.submit(_put_block, descA)  # overlap w/ mirror
+        fT = self.kf_dev_feats(smap, kf)   # target rows: device mirror
         idx, ok = matching.match_with_windows(
-            jnp.asarray(descA), jnp.asarray(vA),
-            jnp.asarray(smap.kf_feat_desc[kf]),
-            jnp.asarray(smap.kf_feat_valid[kf]),
+            descA.result(), jnp.asarray(vA),
+            fT["desc"], fT["valid"],
             uv_pred1=jnp.asarray(uvA),
-            uv2=jnp.asarray(smap.kf_feat_uv[kf]), radius=radius,
+            uv2=fT["uv"], radius=radius,
             max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
         profiling.tick()
         n = len(pts_n)
@@ -901,12 +949,18 @@ class LocalMapper:
         uvA = np.stack([p[2] for p in preps] + [preps[0][2]] * pad)
         vA = np.stack([p[3] for p in preps] + [preps[0][3]] * pad)
         kfs = metas + [metas[0]] * pad
-        descT = np.stack([smap.kf_feat_desc[t] for t in kfs])
-        validT = np.stack([smap.kf_feat_valid[t] for t in kfs])
-        uvT = np.stack([smap.kf_feat_uv[t] for t in kfs])
+        # the [T,1024,256] candidate block is the big upload: split it
+        # across pool threads; target-side rows come from the device
+        # mirror (tuple args: jit stacks them in-trace, no re-upload)
+        futs = [_UPLOAD_POOL.submit(_put_block, s)
+                for s in np.array_split(descA, 3)]
+        fT = [self.kf_dev_feats(smap, t) for t in kfs]
+        descA_dev = jnp.concatenate([f.result() for f in futs], axis=0)
         idx, ok = matching.match_with_windows_batch(
-            jnp.asarray(descA), jnp.asarray(vA), jnp.asarray(descT),
-            jnp.asarray(validT), jnp.asarray(uvA), jnp.asarray(uvT),
+            descA_dev, jnp.asarray(vA),
+            tuple(f["desc"] for f in fT),
+            tuple(f["valid"] for f in fT),
+            jnp.asarray(uvA), tuple(f["uv"] for f in fT),
             radius=radius, max_dist=matching.TH_LOW, ratio=0.9)
         profiling.tick()
         idx = np.asarray(idx)

@@ -63,6 +63,12 @@ class SlamMap:
         # clears it). Descriptor consumers (ref-KF fallback matching) must
         # skip pending keyframes (ADVICE r4).
         self.kf_feat_pending = np.zeros(max_kf, bool)
+        # bumped whenever a KF's feature rows (uv/desc/valid) are written;
+        # keys the device-resident feature mirrors (mapping._kf_dev_feats)
+        # that keep fuse/triangulate/BoW from re-uploading ~150 KB of
+        # descriptors per call over the tunnel (PERF_r05.md). Not persisted
+        # — mirrors rebuild lazily after load/reconnect.
+        self.kf_feat_version = np.zeros(max_kf, np.int64)
 
         self.pt_xyz = np.zeros((max_pt, 3), np.float32)
         self.pt_valid = np.zeros(max_pt, bool)
@@ -142,7 +148,7 @@ class SlamMap:
                 "kf_parent", "kf_cull_R", "kf_cull_t", "kf_feat_uv",
                 "kf_feat_level", "kf_feat_desc", "kf_feat_angle",
                 "kf_feat_valid", "kf_feat_pt", "kf_feat_ur",
-                "kf_feat_pending")
+                "kf_feat_pending", "kf_feat_version")
     _PT_ARRS = ("pt_xyz", "pt_valid", "pt_obs", "pt_visible", "pt_found",
                 "pt_first_kf", "pt_desc", "pt_patch", "pt_ref_uv",
                 "pt_ref_level", "pt_ref_kf", "pt_ref_R", "pt_ref_t")
@@ -193,6 +199,7 @@ class SlamMap:
         self.kf_feat_valid[k, :m] = feats["valid"][:m]
         if "ur" in feats:
             self.kf_feat_ur[k, :m] = feats["ur"][:m]
+        self.kf_feat_version[k] += 1
         return k
 
     def set_pose(self, k, R, t):

@@ -300,6 +300,7 @@ class MonoTracker:
             if hasattr(self, "_no_pred_dev"):
                 del self._no_pred_dev
             self.mapper._dist_ba_cache.clear()
+            self.mapper.drop_dev_feats()   # old client's device arrays
             if self.mapper.mesh is not None:
                 from jax.sharding import Mesh
                 n = self.mapper.mesh.devices.size
@@ -1240,11 +1241,12 @@ class MonoTracker:
             bound = smap.kf_feat_pt[kf] >= 0
             if int(bound.sum()) < min_matches:
                 return None
+            fK = self.mapper.kf_dev_feats(smap, kf)  # device mirror
             idx, ok = matching.match_with_windows(
-                jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
+                fK["desc"], jnp.asarray(bound),
                 jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
                 max_dist=matching.TH_LOW, ratio=0.7,
-                ang1=jnp.asarray(smap.kf_feat_angle[kf]),
+                ang1=fK["angle"],
                 ang2=jnp.asarray(f["angle"]), mutual=True,
                 groups1=g1, groups2=g2)
             idx = np.asarray(idx)
@@ -1325,6 +1327,7 @@ class MonoTracker:
             smap.kf_feat_valid[kf, :mm] = feats["valid"][:mm]
             smap.kf_feat_ur[kf, :mm] = feats["ur"][:mm]
             smap.kf_feat_pending[kf] = False
+            smap.kf_feat_version[kf] += 1
 
     def _create_keyframe(self, pyr, ts, R, t, tracked_ids, tracked_uv,
                          tracked_lvl):
@@ -1594,12 +1597,13 @@ class MonoTracker:
             # SearchByBoW, src/Tracking.cc:1847)
             gk = (jnp.asarray(self.bow_index.feat_groups(kf))
                   if self.bow_index.kf_valid[kf] else None)
+            fK = self.mapper.kf_dev_feats(smap, kf)  # device mirror
             idx, ok = matching.match_with_windows(
                 jnp.asarray(f["desc"]), jnp.asarray(f["valid"]),
-                jnp.asarray(smap.kf_feat_desc[kf]), jnp.asarray(bound),
+                fK["desc"], jnp.asarray(bound),
                 max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
                 ang1=jnp.asarray(f["angle"]),
-                ang2=jnp.asarray(smap.kf_feat_angle[kf]),
+                ang2=fK["angle"],
                 groups1=jnp.asarray(f["groups"]), groups2=gk)
             idx = np.asarray(idx)
             okm = np.asarray(ok)

@@ -89,11 +89,18 @@ def rotation_consistency(ang1, ang2, idx, ok):
     return ok & keep_bin[b]
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist", "ratio",
+                                             "mutual"))
 def match_with_windows(bits1, valid1, bits2, valid2, uv_pred1=None, uv2=None,
                        radius=None, max_dist=TH_LOW, ratio=0.9,
                        ang1=None, ang2=None, mutual=False,
                        groups1=None, groups2=None):
     """One-stop batched matcher used by the tracking front-end.
+
+    Jitted with the gate parameters static: the eager form ran ~10-15
+    op-by-op device dispatches per call, each a full link round-trip on
+    the tunneled accelerator (PERF_r05.md) — every fuse / init / fallback
+    match paid ~300 ms of pure latency.
 
     Mirrors ORBmatcher::SearchByProjection semantics: optional window gate
     around predicted positions, Hamming NN + ratio, optional rotation
@@ -133,7 +140,15 @@ def match_with_windows_batch(bits1, valid1, bits2, valid2, uv1, uv2,
     one dispatch per target keyframe in round 4; on a latency-degraded
     link each dispatch costs a full round-trip — VERDICT r5 #2).
 
-    All arrays carry a leading [T] axis. Returns (idx [T,N1], ok [T,N1])."""
+    Arrays carry a leading [T] axis; the target-side args (bits2/valid2/
+    uv2) may instead be length-T tuples of per-target arrays (e.g. the
+    mapper's device-resident per-KF feature mirrors) — they are stacked
+    in-trace, costing nothing extra. Returns (idx [T,N1], ok [T,N1])."""
+    if isinstance(bits2, (tuple, list)):
+        bits2 = jnp.stack(bits2)
+        valid2 = jnp.stack(valid2)
+        uv2 = jnp.stack(uv2)
+
     def one(b1, v1, b2, v2, u1, u2):
         return match_with_windows(b1, v1, b2, v2, uv_pred1=u1, uv2=u2,
                                   radius=radius, max_dist=max_dist,
