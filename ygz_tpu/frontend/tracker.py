@@ -996,10 +996,15 @@ class MonoTracker:
 
         pvalid = g(smap.pt_valid)
         xyz = g(smap.pt_xyz)
-        # ONE packed upload buffer (framestep.CACHE_COLS layout)
-        self._cache_dev = jnp.asarray(pack_cache_np(
+        # ONE packed buffer (framestep.CACHE_COLS layout), uploaded as 4
+        # pool slices so the ~860 KB refresh overlaps its own per-request
+        # round-trips (PERF_r05.md; it runs once per keyframe)
+        packed = pack_cache_np(
             xyz, pvalid, g(smap.pt_patch), g(smap.pt_ref_uv),
-            g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t)))
+            g(smap.pt_ref_level), g(smap.pt_ref_R), g(smap.pt_ref_t))
+        futs = [self._upload_pool.submit(_device_put_block, p)
+                for p in np.array_split(packed, 4)]
+        self._cache_dev = _concat_chunks(*[f.result() for f in futs])
         # host copy of the snapshot's point positions: consumers that need
         # world coordinates for the TRACKED points (the VI filter's
         # reprojection factors) read THIS, not the live map — the async
