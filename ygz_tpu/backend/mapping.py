@@ -566,8 +566,14 @@ class LocalMapper:
         multi = count[:n] >= 2
         if not multi.any():
             return
-        _, desc = matching.distinctive_descriptors(
-            jnp.asarray(stack), jnp.asarray(valid))
+        # bit-pack the [cap,8,256] observation stack (8x smaller upload)
+        # and ship it as pool slices; unpack + median happen in ONE jit
+        packed = np.packbits(stack, axis=-1)            # [cap,8,32]
+        futs = [_UPLOAD_POOL.submit(_put_block, p)
+                for p in np.array_split(packed, 2)]
+        packed_dev = jnp.concatenate([f.result() for f in futs], axis=0)
+        _, desc = matching.distinctive_descriptors_packed(
+            packed_dev, jnp.asarray(valid))
         profiling.tick()
         desc = np.asarray(desc)[:n]
         smap.pt_desc[pt_ids[multi]] = desc[multi]
@@ -828,19 +834,24 @@ class LocalMapper:
         targets.discard(kf)
         targets = [k for k in targets
                    if smap.kf_valid[k] and not smap.kf_feat_pending[k]]
-        # forward: all target points into the new KF (one dispatch)
+        # BOTH directions in ONE batched dispatch: the forward fuse (all
+        # neighborhood points into the new KF) rides the same
+        # fuse_into_targets program as the reverse direction (the new KF's
+        # points into its strongest neighbors). Candidates for both are
+        # collected from the pre-fuse state, so a point the forward pass
+        # binds misses one reverse opportunity THIS keyframe (retried at
+        # the next) — the cost of 1 link round-trip instead of 2+.
         pts = smap.points_in_kfs(targets)
-        n = self.project_and_fuse(smap, kf, pts, radius=radius)
-        # reverse: the new KF's points into the strongest direct neighbors —
-        # all targets batched into ONE dispatch (fuse_into_targets)
         binds = smap.kf_feat_pt[kf]
         cur_pts = np.unique(binds[binds >= 0])
         cur_pts = cur_pts[smap.pt_valid[cur_pts]]
+        fuse_t = [kf]
+        fuse_p = [pts]
         rev = direct[:n_reverse]
-        if rev and len(cur_pts):
-            n += self.fuse_into_targets(smap, rev, [cur_pts] * len(rev),
-                                        radius=radius)
-        return n
+        if len(cur_pts):
+            fuse_t += rev
+            fuse_p += [cur_pts] * len(rev)
+        return self.fuse_into_targets(smap, fuse_t, fuse_p, radius=radius)
 
     FUSE_CAP = 1024     # candidate-point pad per fuse target
     FUSE_TARGETS = 6    # fixed target-axis bucket for the batched fuse

@@ -212,7 +212,7 @@ class SlamMap:
         valid keyframe (reference KeyFrame::UpdateConnections first-call
         parent assignment, src/KeyFrame.cc:529-537). Older-only keeps the
         tree acyclic. No-op if a parent is already set or none qualifies."""
-        if self.kf_parent[k] >= 0 or k == 0:
+        if k >= self.n_kf or self.kf_parent[k] >= 0 or k == 0:
             return
         cov = self.covisibility(k)
         cov = cov[:k]  # older KFs only

@@ -1324,6 +1324,8 @@ class MonoTracker:
         feats = self._extract_kf_features(pyr, uv_pad, lvl_pad, val_pad)
         smap = self.map
         with self._map_lock:
+            if kf >= smap.n_kf:   # reset swapped the map after queueing
+                return
             mm = min(len(feats["uv"]), smap.max_feat)
             smap.kf_feat_uv[kf, :mm] = feats["uv"][:mm]
             smap.kf_feat_level[kf, :mm] = feats["level"][:mm]
@@ -1426,6 +1428,10 @@ class MonoTracker:
         mapping worker thread; map mutations hold the map lock."""
         smap = self.map
         with self.timer.stage("mapping_tail"), self._map_lock:
+            # a reset may have swapped self.map after this job was queued:
+            # the KF id then points into a different (fresh) map — drop it
+            if kf >= smap.n_kf or not smap.kf_valid[kf]:
+                return
             # triangulate new points against recent covisible keyframes
             with self.timer.stage("mt_triangulate"):
                 cov = smap.covisibility(kf)

@@ -157,6 +157,19 @@ def match_with_windows_batch(bits1, valid1, bits2, valid2, uv1, uv2,
     return jax.vmap(one)(bits1, valid1, bits2, valid2, uv1, uv2)
 
 
+@jax.jit
+def distinctive_descriptors_packed(packed_stack, valid):
+    """distinctive_descriptors on a bit-PACKED stack [N,B,32] u8
+    (np.packbits layout, MSB first): unpacks in-trace, so the upload is
+    8x smaller and the whole update is one dispatch instead of a chain of
+    eager ops (each a link round-trip on the tunneled device,
+    PERF_r05.md)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed_stack[..., :, None] >> shifts) & jnp.uint8(1)
+    stack = bits.reshape(packed_stack.shape[:-1] + (N_BITS,))
+    return distinctive_descriptors(stack, valid)
+
+
 def distinctive_descriptors(desc_stack, valid):
     """Min-median-Hamming representative descriptor per point.
 
