@@ -227,17 +227,22 @@ class MonoTracker:
             self._map_worker.start()
 
     def _mapping_worker(self):
+        # bind the queue once: reset() swaps self._map_queue for a fresh
+        # one while this (old) thread may be mid-job — re-reading the
+        # attribute in `finally` would task_done() the NEW queue and
+        # corrupt its join() accounting
+        q = self._map_queue
         while True:
-            job = self._map_queue.get()
+            job = q.get()
             if job is None:
-                self._map_queue.task_done()
+                q.task_done()
                 return
             try:
                 job()
             except Exception as e:  # surfaced via wait_mapping_idle
                 self._map_worker_error = e
             finally:
-                self._map_queue.task_done()
+                q.task_done()
 
     def wait_mapping_idle(self):
         """Block until the background mapping queue drains."""
@@ -326,6 +331,12 @@ class MonoTracker:
                 rec.R, rec.t = self.recovered_pose(rec)
                 rec.ref_kf, rec.R_r, rec.t_r = -1, None, None
         fid = self.frame_id
+        # stop the OLD mapping worker: __init__ creates a fresh queue +
+        # thread; without the sentinel the old thread would idle forever
+        # on the dead queue (pending old-map jobs drain first and drop
+        # themselves via the map-swap guards)
+        if getattr(self, "_map_worker", None) is not None:
+            self._map_queue.put(None)
         self.__init__(self.cam, self.cfg)
         self.trajectory = traj
         self.frame_id = fid
